@@ -1,0 +1,191 @@
+"""Degradation math: per-band blur + downsample, pure-XLA path.
+
+Semantics match the reference degrader (`C_30apply_kernel_to_landsat.py:
+68-124`): per-band kernel renormalization, replicate ("edge") padding,
+depthwise (grouped) 2-D cross-correlation, then x8 downsampling realized as
+three stacked 2x2 average pools — which is *exactly* one 8x8 block mean, so
+we compute it that way in one reshape-reduce.
+
+TPU-first notes:
+  * The blur + block-mean pair composes into ONE strided depthwise conv
+    with kernel (k * box_d)/d^2: see `compose_with_box` + `degrade_strided`.
+    That form is what the fused Pallas kernel implements; the unfused path
+    here is the parity/fallback reference.
+  * Everything is batch-first `[B, C, H, W]`, vmapped/sharded along B.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def normalize_kernel(kernel: jax.Array) -> jax.Array:
+    """Renormalize each band's kernel to sum 1 (no-op if the sum is <= 0).
+
+    Mirrors `C_30apply_kernel_to_landsat.py:93-97`.
+    """
+    s = jnp.sum(kernel, axis=(-2, -1), keepdims=True)
+    return jnp.where(s > 0, kernel / s, kernel)
+
+
+def replicate_pad(x: jax.Array, pad_h: int, pad_w: int) -> jax.Array:
+    """Edge-replicate padding on the last two axes."""
+    pads = [(0, 0)] * (x.ndim - 2) + [(pad_h, pad_h), (pad_w, pad_w)]
+    return jnp.pad(x, pads, mode="edge")
+
+
+def depthwise_conv2d(
+    x: jax.Array, kernel: jax.Array, stride: int = 1
+) -> jax.Array:
+    """Depthwise VALID cross-correlation.
+
+    x: [B, C, H, W]; kernel: [C, kH, kW] -> [B, C, H', W'].
+
+    HIGHEST precision: depthwise convs are bandwidth-bound (no MXU win from
+    bf16), and the data factory has a <=1e-3 RMSE parity contract.
+    """
+    c = x.shape[1]
+    w = kernel[:, None]  # [C, 1, kH, kW] : (out, in/groups, kH, kW)
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def block_mean(x: jax.Array, factor: int) -> jax.Array:
+    """Block-mean downsample by `factor` on the last two axes.
+
+    Equal to stacking log2(factor) AvgPool2d(2,2) layers
+    (`single_kernel/networks.py:40-43`) when H, W divide `factor`.
+    """
+    b, c, h, w = x.shape
+    x = x.reshape(b, c, h // factor, factor, w // factor, factor)
+    return x.mean(axis=(3, 5))
+
+
+def avg_pool2(x: jax.Array) -> jax.Array:
+    """A single 2x2/stride-2 average pool (floors odd sizes like torch)."""
+    b, c, h, w = x.shape
+    x = x[:, :, : (h // 2) * 2, : (w // 2) * 2]
+    x = x.reshape(b, c, h // 2, 2, w // 2, 2)
+    return x.mean(axis=(3, 5))
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "normalize"))
+def degrade(
+    img: jax.Array,
+    kernel: jax.Array,
+    factor: int = 8,
+    normalize: bool = True,
+) -> jax.Array:
+    """Blur with a per-band kernel and downsample by `factor`.
+
+    img: [B, C, H, W] or [C, H, W]; kernel: [C, kH, kW] or [kH, kW].
+    Returns the same rank with H, W divided by `factor`.
+    """
+    squeeze = img.ndim == 3
+    if squeeze:
+        img = img[None]
+    c = img.shape[1]
+    if kernel.ndim == 2:
+        kernel = jnp.broadcast_to(kernel[None], (c, *kernel.shape))
+    if normalize:
+        kernel = normalize_kernel(kernel)
+    kh, kw = kernel.shape[-2:]
+    x = replicate_pad(img, kh // 2, kw // 2)
+    x = depthwise_conv2d(x, kernel)
+    # log2(factor) stacked 2x2 avg-pools == one factor x factor block mean.
+    out = block_mean(x, factor)
+    return out[0] if squeeze else out
+
+
+def compose_with_box(kernel: jax.Array, factor: int) -> jax.Array:
+    """Compose a blur kernel with the `factor`-wide box mean.
+
+    blur(k) then block_mean(d) == strided conv with (k (*) box_d)/d^2 at
+    stride d. Returns the composed [..., kH+d-1, kW+d-1] kernel.
+    """
+    *lead, kh, kw = kernel.shape
+    flat = kernel.reshape(-1, 1, kh, kw)
+    box = jnp.ones((1, 1, factor, factor), kernel.dtype) / (factor * factor)
+    comp = jax.lax.conv_general_dilated(
+        flat,
+        box,
+        window_strides=(1, 1),
+        padding=[(factor - 1, factor - 1)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return comp.reshape(*lead, kh + factor - 1, kw + factor - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "normalize"))
+def degrade_strided(
+    img: jax.Array,
+    kernel: jax.Array,
+    factor: int = 8,
+    normalize: bool = True,
+) -> jax.Array:
+    """Fused-form degrade: one strided depthwise conv (XLA).
+
+    Numerically identical to `degrade` (same replicate padding, same
+    blur+box composition) but lowered as a single conv so XLA emits one
+    fused kernel. This is the fast single-op path; the Pallas kernel in
+    `degrade_pallas.py` goes further by fusing noise injection.
+    """
+    squeeze = img.ndim == 3
+    if squeeze:
+        img = img[None]
+    c = img.shape[1]
+    if kernel.ndim == 2:
+        kernel = jnp.broadcast_to(kernel[None], (c, *kernel.shape))
+    if normalize:
+        kernel = normalize_kernel(kernel)
+    kh = kernel.shape[-1]
+    comp = compose_with_box(kernel, factor)  # [C, kh+f-1, kw+f-1]
+    # Padding bookkeeping: unfused path pads kh//2, convs VALID (out H),
+    # then block-means. Composed: pad kh//2, conv size (kh+f-1) stride f.
+    x = replicate_pad(img, kh // 2, kh // 2)
+    out = depthwise_conv2d(x, comp, stride=factor)
+    return out[0] if squeeze else out
+
+
+def degrade_batch_kernels(
+    img: jax.Array,
+    kernels: jax.Array,
+    factor: int = 8,
+    decimate: bool = False,
+) -> jax.Array:
+    """Per-sample per-band kernels: img [B,C,H,W], kernels [B,C,kH,kW].
+
+    The reference realizes this with a batch-as-groups reshape trick
+    (`train_gemini.py:121-129`, SAME zero padding) — here it is an MXU-
+    friendly einsum over extracted patches. `decimate` selects ::factor
+    subsampling (MoE variant, `train_gemini.py:134`) instead of block mean.
+
+    NOTE (parity): the MoE variant uses zero ('SAME') padding, unlike the
+    replicate padding of the single-kernel degrader; we honor that here.
+    """
+    b, c, h, w = img.shape
+    kh, kw = kernels.shape[-2:]
+    # Extract kh*kw shifted copies: [B, C*kh*kw, H, W] with SAME zero pad.
+    patches = jax.lax.conv_general_dilated_patches(
+        img,
+        filter_shape=(kh, kw),
+        window_strides=(1, 1),
+        padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    patches = patches.reshape(b, c, kh * kw, h, w)
+    out = jnp.einsum("bckhw,bck->bchw", patches, kernels.reshape(b, c, -1))
+    if decimate:
+        return out[:, :, ::factor, ::factor]
+    return block_mean(out, factor)

@@ -1,0 +1,106 @@
+"""Degrade-op parity vs torch semantics (replicate pad + depthwise conv +
+stacked avg-pools), matching the reference degrader's math."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from kmsr_tpu.ops import (
+    block_mean,
+    degrade,
+    degrade_batch_kernels,
+    degrade_strided,
+    normalize_kernel,
+)
+
+
+def torch_degrade(img: np.ndarray, kernel: np.ndarray, factor: int = 8) -> np.ndarray:
+    """Ground-truth semantics: replicate pad -> grouped conv -> stacked
+    2x2 avg pools (independent torch formulation, used only as an oracle)."""
+    img_t = torch.from_numpy(img)[None]  # [1,C,H,W]
+    C = img.shape[0]
+    k = torch.from_numpy(kernel)
+    if k.ndim == 2:
+        k = k[None].repeat(C, 1, 1)
+    k = k / k.sum(dim=(-2, -1), keepdim=True)
+    kh, kw = k.shape[-2:]
+    x = F.pad(img_t, (kw // 2, kw // 2, kh // 2, kh // 2), mode="replicate")
+    y = F.conv2d(x, k[:, None], groups=C)
+    for _ in range(int(np.log2(factor))):
+        y = F.avg_pool2d(y, 2, 2)
+    return y[0].numpy()
+
+
+@pytest.fixture
+def img(rng):
+    return rng.normal(5.0, 2.0, size=(5, 64, 64)).astype(np.float32)
+
+
+@pytest.fixture
+def kernel13(rng):
+    k = rng.uniform(0, 1, size=(5, 13, 13)).astype(np.float32)
+    return k
+
+
+def test_degrade_matches_torch(img, kernel13):
+    want = torch_degrade(img, kernel13)
+    got = np.asarray(degrade(jnp.asarray(img), jnp.asarray(kernel13)))
+    assert got.shape == (5, 8, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_degrade_2d_kernel_broadcast(img, rng):
+    k = rng.uniform(0, 1, size=(13, 13)).astype(np.float32)
+    want = torch_degrade(img, k)
+    got = np.asarray(degrade(jnp.asarray(img), jnp.asarray(k)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_degrade_strided_equals_unfused(img, kernel13):
+    a = np.asarray(degrade(jnp.asarray(img), jnp.asarray(kernel13)))
+    b = np.asarray(degrade_strided(jnp.asarray(img), jnp.asarray(kernel13)))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_degrade_batched(rng, kernel13):
+    imgs = rng.normal(size=(3, 5, 32, 32)).astype(np.float32)
+    out = np.asarray(degrade(jnp.asarray(imgs), jnp.asarray(kernel13)))
+    assert out.shape == (3, 5, 4, 4)
+    for i in range(3):
+        np.testing.assert_allclose(
+            out[i], torch_degrade(imgs[i], kernel13), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_normalize_kernel():
+    k = jnp.ones((5, 3, 3))
+    n = normalize_kernel(k)
+    np.testing.assert_allclose(np.asarray(n.sum(axis=(-2, -1))), 1.0, rtol=1e-6)
+
+
+def test_block_mean_equals_stacked_avgpool(rng):
+    x = rng.normal(size=(2, 5, 32, 32)).astype(np.float32)
+    got = np.asarray(block_mean(jnp.asarray(x), 8))
+    t = torch.from_numpy(x)
+    for _ in range(3):
+        t = F.avg_pool2d(t, 2, 2)
+    np.testing.assert_allclose(got, t.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_degrade_batch_kernels_matches_torch_groups_trick(rng):
+    """Per-sample kernels via batch-as-groups conv (MoE semantics:
+    SAME zero pad + ::4 decimation)."""
+    B, C, H = 4, 5, 32
+    x = rng.normal(size=(B, C, H, H)).astype(np.float32)
+    ks = rng.uniform(0, 1, size=(B, C, 13, 13)).astype(np.float32)
+
+    xt = torch.from_numpy(x).reshape(1, B * C, H, H)
+    kt = torch.from_numpy(ks).reshape(B * C, 1, 13, 13)
+    want = F.conv2d(xt, kt, padding=6, groups=B * C).reshape(B, C, H, H)
+    want = want[:, :, ::4, ::4].numpy()
+
+    got = np.asarray(
+        degrade_batch_kernels(jnp.asarray(x), jnp.asarray(ks), factor=4, decimate=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
