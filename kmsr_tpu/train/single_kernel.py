@@ -1,0 +1,273 @@
+"""Single-kernel (static per-band) KernelGAN training — pjit'd TPU loop.
+
+Capability parity with `single_kernel/train.py:121-355`: unpaired LSGAN
+between G(HR 256^2) -> fake 32^2 and independent real 32^2 crops, Adam
+(4e-4, betas (0.5, 0.999)), global grad clip 20, kernel regularizer
+(alpha .5, beta .5, gamma 5, delta 1, epsilon 3) at weight 0.002, CSV
+loss log with the same header, kernel metrics / ASCII / intermediate
+kernel .npy dumps every 100 iters, final kernel_per_band.npy [5,13,13] +
+kernel_merged.npy [13,13].
+
+TPU-first differences (by design, not translation):
+  * D-step + G-step are ONE jitted function: both model updates, the
+    spectral-norm power iterations, BN stats, the closed-form kernel
+    extraction and the regularizer all execute on-device per iteration.
+  * Data comes from an in-memory `PatchPool` (no per-iter file IO).
+  * The batch axis is sharded over a `Mesh` ('data' axis); XLA inserts the
+    gradient all-reduce over ICI. Params/optimizer state are replicated.
+  * Real-crop sampling runs on device from the HR batch's sibling batch
+    (random offsets from the threaded PRNG key), keeping host RNG only
+    for file-index choice, mirroring reference sampling structure.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.sampler import PatchPool
+from ..losses import lsgan_d_loss, lsgan_g_loss, per_band_kernel_regularization
+from ..models.discriminator import (
+    DiscriminatorConfig,
+    discriminator_forward,
+    init_discriminator,
+)
+from ..models.generator import (
+    GeneratorConfig,
+    extract_kernels,
+    generator_forward,
+    init_generator,
+)
+from ..analysis.kernel_metrics import ascii_kernel, kernel_delta_l2, kernel_metrics
+from .state import GANTrainState, init_gan_state, make_gan_optimizers
+
+LOG_HEADER = "Iteration,Loss_D,Loss_G_adv,Loss_Reg,Loss_Reg_weighted\n"
+
+
+@dataclasses.dataclass
+class SingleKernelConfig:
+    iters: int = 10_000
+    hr_patch_size: int = 256
+    lr_crop_size: int = 32
+    batch_size: int = 16
+    lr_rate: float = 4e-4
+    reg_weight: float = 0.002
+    grad_clip_norm: float = 20.0
+    log_every: int = 100
+    kernel_log_every: int = 100
+    save_intermediate: bool = True
+    differentiable_reg: bool = False  # reference quirk: reg has no G-gradient
+    reg_weights: dict = dataclasses.field(
+        default_factory=lambda: dict(alpha=0.5, beta=0.5, gamma=5.0, delta=1.0, epsilon=3.0)
+    )
+    generator: GeneratorConfig = dataclasses.field(default_factory=GeneratorConfig)
+    discriminator: DiscriminatorConfig = dataclasses.field(
+        default_factory=DiscriminatorConfig
+    )
+    outdir: str = "output/kernelgan_single"
+    ckpt_every: int = 0  # 0 = no orbax checkpoints
+    seed: int = 0
+    verbose: bool = True
+
+
+def random_crops(key: jax.Array, src: jax.Array, crop: int) -> jax.Array:
+    """Per-sample random crops on device. src: [B, C, H, W] -> [B, C, c, c]."""
+    b, c, h, w = src.shape
+    ky, kx = jax.random.split(key)
+    ys = jax.random.randint(ky, (b,), 0, h - crop + 1)
+    xs = jax.random.randint(kx, (b,), 0, w - crop + 1)
+
+    def crop_one(img, y, x):
+        return jax.lax.dynamic_slice(img, (0, y, x), (c, crop, crop))
+
+    return jax.vmap(crop_one)(src, ys, xs)
+
+
+def make_train_step(cfg: SingleKernelConfig) -> Callable:
+    """Build the jitted combined D+G train step.
+
+    step(state, hr_batch, crop_src_batch) -> (new_state, metrics)
+    """
+    g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
+    d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
+    factor = cfg.generator.factor
+
+    def step(state: GANTrainState, hr: jax.Array, crop_src: jax.Array):
+        rng, k_crop = jax.random.split(state.rng)
+        real = random_crops(k_crop, crop_src, cfg.lr_crop_size)
+        fake = generator_forward(state.g_params, hr, factor=factor)
+
+        # ---- D step -------------------------------------------------------
+        def d_loss_fn(d_params, d_state):
+            pred_real, st = discriminator_forward(d_params, d_state, real, train=True)
+            pred_fake, st = discriminator_forward(
+                d_params, st, jax.lax.stop_gradient(fake), train=True
+            )
+            return lsgan_d_loss(pred_real, pred_fake), st
+
+        (loss_d, d_state), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params, state.d_state
+        )
+        d_grad_norm = optax.global_norm(d_grads)
+        d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- G step (against the freshly updated D, reference order) -------
+        def g_loss_fn(g_params, d_state_in):
+            fake_g = generator_forward(g_params, hr, factor=factor)
+            pred_fake, st = discriminator_forward(d_params, d_state_in, fake_g, train=True)
+            adv = lsgan_g_loss(pred_fake)
+            ks = extract_kernels(g_params, differentiable=cfg.differentiable_reg)
+            reg = per_band_kernel_regularization(ks, cfg.reg_weights)
+            return adv + cfg.reg_weight * reg, (st, adv, reg, ks)
+
+        (loss_g, (d_state, adv, reg, ks)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params, d_state)
+        g_grad_norm = optax.global_norm(g_grads)
+        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = GANTrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            d_state=d_state,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            rng=rng,
+        )
+        metrics = {
+            "loss_D": loss_d,
+            "loss_G_adv": adv,
+            "loss_reg": reg,
+            "loss_reg_weighted": cfg.reg_weight * reg,
+            "grad_norm_D": d_grad_norm,
+            "grad_norm_G": g_grad_norm,
+            "kernels": ks,  # [C, kH, kW] — free: already extracted in-step
+        }
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,)), (g_tx, d_tx)
+
+
+def init_training(cfg: SingleKernelConfig):
+    key = jax.random.PRNGKey(cfg.seed)
+    k_d, k_state = jax.random.split(key)
+    g_params = init_generator(cfg.generator)
+    d_params, d_state = init_discriminator(k_d, cfg.discriminator)
+    g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
+    d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
+    return init_gan_state(k_state, g_params, d_params, d_state, g_tx, d_tx)
+
+
+def train_single_kernel(
+    pool: PatchPool,
+    cfg: SingleKernelConfig = SingleKernelConfig(),
+    mesh=None,
+    progress: bool = True,
+) -> dict:
+    """Run the full single-kernel KernelGAN loop over a patch pool.
+
+    Returns {"kernel_per_band": [C,13,13], "kernel_merged": [13,13],
+    "state": final GANTrainState, "log_file": path}.
+    """
+    os.makedirs(cfg.outdir, exist_ok=True)
+    log_file = os.path.join(cfg.outdir, "training_log.txt")
+    with open(log_file, "w", encoding="utf-8") as f:
+        f.write(LOG_HEADER)
+
+    step_fn, _ = make_train_step(cfg)
+    state = init_training(cfg)
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        state = jax.device_put(state, replicated(mesh))
+        put_batch = functools.partial(jax.device_put, device=batch_sharding(mesh))
+    else:
+        put_batch = jnp.asarray
+
+    host_rng = np.random.default_rng(cfg.seed)
+    prev_k = None
+    log_rows: list[str] = []
+    iterator = range(cfg.iters)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(iterator, desc="Training", unit="iter")
+        except ImportError:
+            pass
+
+    for t in iterator:
+        hr = put_batch(pool.sample(host_rng, cfg.batch_size))
+        crop_src = put_batch(pool.sample(host_rng, cfg.batch_size))
+        state, metrics = step_fn(state, hr, crop_src)
+
+        # CSV row (buffered; flushed every log_every — the reference reopens
+        # the file per iteration, which we deliberately do not reproduce)
+        log_rows.append(
+            f"{t + 1},{float(metrics['loss_D']):.6f},{float(metrics['loss_G_adv']):.6f},"
+            f"{float(metrics['loss_reg']):.6f},{float(metrics['loss_reg_weighted']):.6f}\n"
+        )
+
+        if (t + 1) % cfg.log_every == 0:
+            with open(log_file, "a", encoding="utf-8") as f:
+                f.writelines(log_rows)
+            log_rows.clear()
+            if progress and hasattr(iterator, "set_postfix"):
+                iterator.set_postfix(
+                    D=f"{float(metrics['loss_D']):.4f}",
+                    G_adv=f"{float(metrics['loss_G_adv']):.4f}",
+                    RegW=f"{float(metrics['loss_reg_weighted']):.4f}",
+                    gN_D=f"{float(metrics['grad_norm_D']):.2f}",
+                    gN_G=f"{float(metrics['grad_norm_G']):.2f}",
+                )
+
+        if (t + 1) % cfg.kernel_log_every == 0:
+            ks = np.asarray(metrics["kernels"])  # [C,kH,kW]
+            k_merged = ks.mean(axis=0)
+            km = kernel_metrics(k_merged)
+            delta = kernel_delta_l2(k_merged, prev_k)
+            prev_k = k_merged.copy()
+            if cfg.verbose:
+                print(
+                    f"  [Kernel] shape={km['k_shape']} sum={km['k_sum']:.4f} "
+                    f"max={km['k_max']:.4f} std={km['k_std']:.4f} "
+                    f"sparsity={km['sparsity']:.3f} "
+                    f"center_offset={km['center_offset']:.3f} delta_L2={delta:.5f}"
+                )
+                print("  [Kernel ASCII merged]\n" + ascii_kernel(k_merged))
+            if cfg.save_intermediate:
+                np.save(os.path.join(cfg.outdir, f"kernel_iter{t + 1}.npy"), k_merged)
+                np.save(
+                    os.path.join(cfg.outdir, f"kernel_per_band_iter{t + 1}.npy"), ks
+                )
+
+        if cfg.ckpt_every and (t + 1) % cfg.ckpt_every == 0:
+            from .state import save_checkpoint
+
+            save_checkpoint(os.path.join(cfg.outdir, "ckpt"), state, t + 1)
+
+    if log_rows:
+        with open(log_file, "a", encoding="utf-8") as f:
+            f.writelines(log_rows)
+
+    ks_final = np.asarray(extract_kernels(state.g_params))
+    k_merged = ks_final.mean(axis=0)
+    np.save(os.path.join(cfg.outdir, "kernel_per_band.npy"), ks_final)
+    np.save(os.path.join(cfg.outdir, "kernel_merged.npy"), k_merged)
+    return {
+        "kernel_per_band": ks_final,
+        "kernel_merged": k_merged,
+        "state": state,
+        "log_file": log_file,
+    }

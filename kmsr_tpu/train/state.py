@@ -1,0 +1,104 @@
+"""Train state containers + orbax checkpointing.
+
+The reference's only "checkpoints" are kernel .npy dumps every 100 iters
+(`single_kernel/train.py:343-347`) with no optimizer state or resume.
+Here: full (params, opt_state, mutable state, rng, step) checkpointing via
+orbax with resume, *plus* the same kernel-artifact dumps for compatibility.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import optax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GANTrainState:
+    """Everything a GAN training step threads through iterations."""
+
+    step: jax.Array
+    g_params: Any
+    d_params: Any
+    d_state: Any          # spectral-norm u vectors + batchnorm stats
+    g_opt_state: Any
+    d_opt_state: Any
+    rng: jax.Array
+
+
+def make_gan_optimizers(
+    lr: float = 4e-4,
+    betas: tuple[float, float] = (0.5, 0.999),
+    grad_clip_norm: Optional[float] = 20.0,
+):
+    """Adam(lr, betas) preceded by global-norm clipping.
+
+    Matches the reference schedule: Adam(4e-4, (0.5, 0.999)) with
+    clip_grad_norm_(20) applied between backward and step
+    (`single_kernel/train.py:165-166,279,302`).
+    """
+    chain = []
+    if grad_clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip_norm))
+    chain.append(optax.adam(lr, b1=betas[0], b2=betas[1]))
+    return optax.chain(*chain)
+
+
+def init_gan_state(
+    key: jax.Array,
+    g_params: Any,
+    d_params: Any,
+    d_state: Any,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+) -> GANTrainState:
+    import jax.numpy as jnp
+
+    return GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        d_state=d_state,
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init(d_params),
+        rng=key,
+    )
+
+
+# ---------------------------------------------------------------- checkpointing
+def save_checkpoint(ckpt_dir: str, state: GANTrainState, step: int) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        f"{ckpt_dir}/step_{step}",
+        jax.device_get(dataclasses.asdict(state)),
+        force=True,
+    )
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(ckpt_dir: str, step: int, template: GANTrainState) -> GANTrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        f"{ckpt_dir}/step_{step}", jax.device_get(dataclasses.asdict(template))
+    )
+    return GANTrainState(**restored)
+
+
+def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
+    import os
+    import re
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"step_(\d+)", name)
+        if m:
+            steps.append(int(m.group(1)))
+    return max(steps) if steps else None

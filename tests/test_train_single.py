@@ -1,0 +1,121 @@
+"""Single-kernel GAN training: smoke + sharded-mesh tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmsr_tpu.data import PatchPool, NaNPatchError, synthetic_pool
+from kmsr_tpu.models import GeneratorConfig, DiscriminatorConfig
+from kmsr_tpu.parallel import make_mesh, shard_batch, replicated
+from kmsr_tpu.train import (
+    SingleKernelConfig,
+    init_training,
+    make_train_step,
+    train_single_kernel,
+)
+
+
+def tiny_cfg(outdir, iters=4):
+    return SingleKernelConfig(
+        iters=iters,
+        hr_patch_size=64,
+        lr_crop_size=8,
+        batch_size=4,
+        log_every=2,
+        kernel_log_every=2,
+        outdir=str(outdir),
+        verbose=False,
+        generator=GeneratorConfig(mid_ch=8),
+        discriminator=DiscriminatorConfig(base_ch=8, num_blocks=2),
+    )
+
+
+@pytest.fixture(scope="module")
+def small_pool():
+    rng = np.random.default_rng(3)
+    return synthetic_pool(rng, n=8, size=64, blur_sigma=None)
+
+
+def test_pool_nan_gate():
+    bad = np.ones((2, 5, 16, 16), np.float32)
+    bad[1, 2, 3, 4] = np.nan
+    with pytest.raises(NaNPatchError):
+        PatchPool(bad)
+
+
+def test_train_step_updates_and_finite(small_pool):
+    cfg = tiny_cfg("/tmp/kmsr_test_out", iters=2)
+    step_fn, _ = make_train_step(cfg)
+    state = init_training(cfg)
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(small_pool.sample(rng, cfg.batch_size))
+    crop = jnp.asarray(small_pool.sample(rng, cfg.batch_size))
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+    state, metrics = step_fn(state, hr, crop)
+    assert np.isfinite(float(metrics["loss_D"]))
+    assert np.isfinite(float(metrics["loss_G_adv"]))
+    assert np.isfinite(float(metrics["loss_reg"]))
+    assert int(state.step) == 1
+    g1 = jax.tree_util.tree_leaves(state.g_params)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    ks = np.asarray(metrics["kernels"])
+    assert ks.shape == (5, 13, 13)
+    np.testing.assert_allclose(ks.sum(axis=(1, 2)), 1.0, rtol=1e-4)
+
+
+def test_train_loop_artifacts(tmp_path, small_pool):
+    cfg = tiny_cfg(tmp_path, iters=4)
+    out = train_single_kernel(small_pool, cfg, progress=False)
+    assert out["kernel_per_band"].shape == (5, 13, 13)
+    assert out["kernel_merged"].shape == (13, 13)
+    assert (tmp_path / "training_log.txt").exists()
+    lines = (tmp_path / "training_log.txt").read_text().strip().splitlines()
+    assert lines[0] == "Iteration,Loss_D,Loss_G_adv,Loss_Reg,Loss_Reg_weighted"
+    assert len(lines) == 1 + 4
+    assert (tmp_path / "kernel_iter2.npy").exists()
+    assert (tmp_path / "kernel_per_band_iter4.npy").exists()
+    assert (tmp_path / "kernel_per_band.npy").exists()
+    # kernels stay normalized through training
+    k = np.load(tmp_path / "kernel_per_band.npy")
+    np.testing.assert_allclose(k.sum(axis=(1, 2)), 1.0, rtol=1e-4)
+
+
+def test_train_step_sharded_8dev_mesh(small_pool):
+    """DP over an 8-device CPU mesh: replicated params, sharded batch."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(axis_names=("data",))
+    cfg = tiny_cfg("/tmp/kmsr_test_mesh", iters=1)
+    cfg.batch_size = 8
+    step_fn, _ = make_train_step(cfg)
+    state = jax.device_put(init_training(cfg), replicated(mesh))
+    rng = np.random.default_rng(0)
+    hr = shard_batch(mesh, small_pool.sample(rng, 8))
+    crop = shard_batch(mesh, small_pool.sample(rng, 8))
+    state, metrics = step_fn(state, hr, crop)
+    assert np.isfinite(float(metrics["loss_D"]))
+    # result params should be replicated across devices
+    leaf = jax.tree_util.tree_leaves(state.g_params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_matches_single_device(small_pool):
+    """The DP-sharded step must produce the same numbers as unsharded."""
+    mesh = make_mesh(axis_names=("data",))
+    cfg = tiny_cfg("/tmp/kmsr_test_eq", iters=1)
+    cfg.batch_size = 8
+    step_fn, _ = make_train_step(cfg)
+    rng = np.random.default_rng(0)
+    hr_np = small_pool.sample(rng, 8)
+    crop_np = small_pool.sample(rng, 8)
+
+    s1 = init_training(cfg)
+    s1, m1 = step_fn(s1, jnp.asarray(hr_np), jnp.asarray(crop_np))
+
+    s2 = jax.device_put(init_training(cfg), replicated(mesh))
+    s2, m2 = step_fn(s2, shard_batch(mesh, hr_np), shard_batch(mesh, crop_np))
+
+    assert float(m1["loss_D"]) == pytest.approx(float(m2["loss_D"]), rel=1e-4)
+    assert float(m1["loss_G_adv"]) == pytest.approx(float(m2["loss_G_adv"]), rel=1e-4)
+    l1 = jax.tree_util.tree_leaves(s1.g_params)[0]
+    l2 = jax.tree_util.tree_leaves(s2.g_params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-6)
