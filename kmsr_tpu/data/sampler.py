@@ -34,11 +34,20 @@ def list_patch_files(patch_dir: str, pattern: str = "*.nc") -> list[str]:
 class PatchPool:
     """An in-memory pool of [C, H, W] patches with batch sampling."""
 
-    def __init__(self, patches: np.ndarray, sources: Optional[Sequence[str]] = None):
+    def __init__(
+        self,
+        patches: np.ndarray,
+        sources: Optional[Sequence[str]] = None,
+        allow_nan: bool = False,
+    ):
         patches = np.ascontiguousarray(patches, dtype=np.float32)
         if patches.ndim != 4:
             raise ValueError(f"expected [N,C,H,W], got {patches.shape}")
-        nan_mask = np.isnan(patches).reshape(patches.shape[0], -1).any(axis=1)
+        nan_mask = (
+            np.zeros(patches.shape[0], bool)
+            if allow_nan
+            else np.isnan(patches).reshape(patches.shape[0], -1).any(axis=1)
+        )
         if nan_mask.any():
             idx = int(np.argmax(nan_mask))
             src = sources[idx] if sources else f"patch {idx}"
@@ -58,16 +67,17 @@ class PatchPool:
         patch_dir: str,
         group: str = GROUP_DENOISED,
         band_names: Sequence[str] = BAND_NAMES,
+        allow_nan: bool = False,
     ) -> "PatchPool":
         files = list_patch_files(patch_dir, "*.nc")
         stacks = [read_band_stack(f, group, band_names) for f in files]
-        return cls(np.stack(stacks, axis=0), sources=files)
+        return cls(np.stack(stacks, axis=0), sources=files, allow_nan=allow_nan)
 
     @classmethod
-    def from_npy_dir(cls, patch_dir: str) -> "PatchPool":
+    def from_npy_dir(cls, patch_dir: str, allow_nan: bool = False) -> "PatchPool":
         files = list_patch_files(patch_dir, "*.npy")
         stacks = [np.load(f).astype(np.float32) for f in files]
-        return cls(np.stack(stacks, axis=0), sources=files)
+        return cls(np.stack(stacks, axis=0), sources=files, allow_nan=allow_nan)
 
     # -- sampling -----------------------------------------------------------
     def __len__(self) -> int:

@@ -1,0 +1,150 @@
+"""Stage: apply a learned blur kernel + downsample to a patch folder.
+
+Contract parity with `C_30apply_kernel_to_landsat.py:127-213` (single
+kernel, reads `denoised`, appends a `blurred` group to a copied file) and
+`C_31apply_muti_kernel_to_landsat.py` (batch kernels [B,C,kH,kW] are
+averaged over B; reads `hr`, writes `lr` — both selectable here via
+--in-group/--out-group).
+
+TPU-first: files are stacked into device batches and degraded with the
+fused strided depthwise conv (`ops.degrade.degrade_strided`) — one XLA
+launch per batch of files instead of one conv per file.
+
+Usage:
+    python -m kmsr_tpu.pipeline.apply_kernel --input-dir PATCHES \
+        --kernel kernel_per_band.npy --output-dir OUT \
+        [--factor 8] [--in-group denoised] [--out-group blurred] \
+        [--suffix _blurred] [--batch-size 64]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.sampler import list_patch_files
+from ..io.ncio import copy_file_with_groups, read_band_stack, write_band_stack
+from ..io.schema import GROUP_BLURRED, GROUP_DENOISED, RADIANCE_UNITS
+from ..ops.degrade import degrade_strided
+from .common import RunReport
+
+
+def load_kernel(kernel_path: str, n_bands: int = 5) -> np.ndarray:
+    """Load a kernel artifact: [kH,kW] broadcasts to all bands; [C,kH,kW]
+    used per band; [B,C,kH,kW] batch kernels are mean-reduced over B
+    (parity: `C_31...py:27-29`)."""
+    k = np.load(kernel_path).astype(np.float32)
+    if k.ndim == 4:
+        k = k.mean(axis=0)
+    if k.ndim == 2:
+        k = np.broadcast_to(k[None], (n_bands, *k.shape)).copy()
+    if k.ndim != 3 or k.shape[0] != n_bands:
+        raise ValueError(f"kernel shape {k.shape} incompatible with {n_bands} bands")
+    return k
+
+
+def apply_kernel_to_folder(
+    input_dir: str,
+    kernel_path: str,
+    output_dir: str,
+    factor: int = 8,
+    in_group: str = GROUP_DENOISED,
+    out_group: str = GROUP_BLURRED,
+    suffix: str = "_blurred",
+    batch_size: int = 64,
+    in_place: bool = False,
+    progress: bool = True,
+) -> RunReport:
+    """Degrade every patch file; write `out_group` into a copy (or in place)."""
+    import time
+
+    t0 = time.time()
+    kernel = jnp.asarray(load_kernel(kernel_path))
+    files = list_patch_files(input_dir, "*.nc")
+    os.makedirs(output_dir, exist_ok=True)
+
+    ok, fail = [], []
+    iterator = range(0, len(files), batch_size)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(iterator, desc="applying kernel", unit="batch")
+        except ImportError:
+            pass
+
+    for start in iterator:
+        chunk = files[start : start + batch_size]
+        stacks, valid = [], []
+        for path in chunk:
+            try:
+                stacks.append(read_band_stack(path, in_group))
+                valid.append(path)
+            except Exception as e:
+                fail.append((path, str(e)))
+        if not stacks:
+            continue
+        batch = jnp.asarray(np.stack(stacks, axis=0))
+        degraded = np.asarray(degrade_strided(batch, kernel, factor=factor))
+        for path, lr in zip(valid, degraded):
+            try:
+                base = os.path.splitext(os.path.basename(path))[0]
+                if in_place:
+                    out_path = path
+                else:
+                    out_path = os.path.join(output_dir, f"{base}{suffix}.nc")
+                    copy_file_with_groups(path, out_path)
+                write_band_stack(
+                    out_path,
+                    out_group,
+                    lr,
+                    dims=(f"y_{out_group}", f"x_{out_group}"),
+                    mode="a",
+                    var_attrs={"units": RADIANCE_UNITS},
+                    group_attrs={
+                        "history": f"blur kernel applied, {factor}x downsampled",
+                        "kernel_file": os.path.basename(kernel_path),
+                    },
+                )
+                ok.append(out_path)
+            except Exception as e:
+                fail.append((path, str(e)))
+    report = RunReport(succeeded=ok, failed=fail, seconds=time.time() - t0)
+    print(f"apply_kernel: {report.summary()} -> {output_dir}")
+    return report
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Apply blur kernel + downsample")
+    p.add_argument("--input-dir", required=True)
+    p.add_argument("--kernel", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--factor", type=int, default=8)
+    p.add_argument("--in-group", default=GROUP_DENOISED)
+    p.add_argument("--out-group", default=GROUP_BLURRED)
+    p.add_argument("--suffix", default="_blurred")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--in-place", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    a = build_parser().parse_args(argv)
+    report = apply_kernel_to_folder(
+        a.input_dir,
+        a.kernel,
+        a.output_dir,
+        factor=a.factor,
+        in_group=a.in_group,
+        out_group=a.out_group,
+        suffix=a.suffix,
+        batch_size=a.batch_size,
+        in_place=a.in_place,
+    )
+    return 0 if report.n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,68 @@
+"""Shared pipeline-runner plumbing: per-file failure isolation + accounting.
+
+Every reference batch driver wraps its per-file work in try/except-continue
+with success/failure counting (`A_00_patch_cutter_universal.py:409-419`,
+`E_make_train_data.py:264-272`, `denoise/batch_denoise.py:60-93`) so one
+bad file never kills a run; this module centralizes that contract.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+import traceback
+from typing import Callable, Iterable, Optional
+
+
+@dataclasses.dataclass
+class RunReport:
+    succeeded: list
+    failed: list            # (item, error string)
+    seconds: float
+
+    @property
+    def n_ok(self) -> int:
+        return len(self.succeeded)
+
+    @property
+    def n_fail(self) -> int:
+        return len(self.failed)
+
+    def summary(self) -> str:
+        return (
+            f"{self.n_ok} succeeded, {self.n_fail} failed "
+            f"in {self.seconds:.1f}s"
+        )
+
+
+def run_per_file(
+    items: Iterable,
+    fn: Callable,
+    desc: str = "processing",
+    progress: bool = True,
+    verbose_errors: bool = False,
+    on_error: Optional[Callable] = None,
+) -> RunReport:
+    """Apply `fn(item)` to every item; isolate failures; account results."""
+    items = list(items)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            items_iter = tqdm(items, desc=desc, unit="file")
+        except ImportError:
+            items_iter = items
+    else:
+        items_iter = items
+    t0 = time.time()
+    ok, fail = [], []
+    for item in items_iter:
+        try:
+            fn(item)
+            ok.append(item)
+        except Exception as e:
+            fail.append((item, str(e)))
+            if verbose_errors:
+                traceback.print_exc()
+            if on_error:
+                on_error(item, e)
+    return RunReport(succeeded=ok, failed=fail, seconds=time.time() - t0)

@@ -1,0 +1,74 @@
+"""Stage: single-kernel KernelGAN training (CLI).
+
+Hyper-parameter parity with `single_kernel/train.py:133-144` as defaults;
+everything is a flag (the reference hard-codes paths/constants).
+
+Usage:
+    python -m kmsr_tpu.pipeline.train_single_kernel_cli \
+        --patch-dir PATCHES --outdir OUT [--iters 10000] [--batch-size 16] \
+        [--lr 4e-4] [--reg-weight 0.002] [--group denoised] [--seed 0]
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..data.sampler import PatchPool
+from ..io.schema import GROUP_DENOISED
+from ..train.single_kernel import SingleKernelConfig, train_single_kernel
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train single-kernel KernelGAN")
+    p.add_argument("--patch-dir", required=True)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--group", default=GROUP_DENOISED)
+    p.add_argument("--iters", type=int, default=10_000)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr-crop-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=4e-4)
+    p.add_argument("--reg-weight", type=float, default=0.002)
+    p.add_argument("--grad-clip", type=float, default=20.0)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--kernel-log-every", type=int, default=100)
+    p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--differentiable-reg", action="store_true",
+                   help="corrected gradient path through kernel extraction "
+                        "(the reference's regularizer has no G-gradient)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all devices")
+    return p
+
+
+def main(argv=None) -> int:
+    a = build_parser().parse_args(argv)
+    pool = PatchPool.from_nc_dir(a.patch_dir, group=a.group)
+    cfg = SingleKernelConfig(
+        iters=a.iters,
+        batch_size=a.batch_size,
+        lr_crop_size=a.lr_crop_size,
+        lr_rate=a.lr,
+        reg_weight=a.reg_weight,
+        grad_clip_norm=a.grad_clip,
+        log_every=a.log_every,
+        kernel_log_every=a.kernel_log_every,
+        ckpt_every=a.ckpt_every,
+        outdir=a.outdir,
+        seed=a.seed,
+        differentiable_reg=a.differentiable_reg,
+    )
+    mesh = None
+    if a.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_names=("data",))
+    out = train_single_kernel(pool, cfg, mesh=mesh)
+    print(
+        f"saved kernel_per_band.npy {out['kernel_per_band'].shape}, "
+        f"kernel_merged.npy sum={out['kernel_merged'].sum():.6f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,195 @@
+"""End-to-end pipeline slice: cut -> noise pool -> apply kernel ->
+make_train_data -> shape gate, all through the stage CLIs' file contracts."""
+import numpy as np
+import pytest
+
+from kmsr_tpu.data.mask import apply_water_mask
+from kmsr_tpu.data.patches import CutConfig, cut_scene, cut_to_files, nan_ratio_gate
+from kmsr_tpu.io import (
+    GROUP_BLURRED,
+    GROUP_DENOISED,
+    GROUP_GEO,
+    GROUP_HR,
+    GROUP_LR,
+    NCFile,
+    read_band_stack,
+    write_band_stack,
+)
+
+
+def make_scene_file(path, rng, h=160, w=160, nir_base=1.0):
+    scene = rng.uniform(0.5, 5.0, size=(5, h, w)).astype(np.float32)
+    scene[4] = nir_base  # NIR inside water thresholds
+    nav = {
+        "latitude": np.linspace(30, 31, h * w).reshape(h, w).astype(np.float32),
+        "longitude": np.linspace(120, 121, h * w).reshape(h, w).astype(np.float32),
+    }
+    write_band_stack(path, GROUP_GEO, scene, mode="w")
+    with NCFile(path, "a") as f:
+        for k, v in nav.items():
+            f.create_variable("navigation_data", k, v, dims=("y", "x"))
+    return scene
+
+
+def test_water_mask(rng):
+    data = rng.uniform(0.5, 5.0, size=(5, 32, 32)).astype(np.float32)
+    data[4, :16] = 100.0   # NIR too bright -> land/cloud
+    data[0, 0, 0] = -9999.0
+    masked, stats = apply_water_mask(data)
+    assert np.isnan(masked[:, :16]).all()
+    assert np.isfinite(masked[1:, 16:]).all()
+    assert np.isnan(masked[0, 0, 0]) or masked.shape == data.shape
+    assert stats.water_pixels == 16 * 32
+
+
+def test_cut_scene_grid(rng):
+    data = rng.normal(size=(5, 96, 96)).astype(np.float32)
+    patches, grid_ij, offsets = cut_scene(data, 64, 32)
+    assert patches.shape == (4, 5, 64, 64)
+    np.testing.assert_array_equal(offsets[-1], [32, 32])
+    np.testing.assert_array_equal(patches[0], data[:, :64, :64])
+    np.testing.assert_array_equal(patches[-1], data[:, 32:96, 32:96])
+
+
+def test_nan_gate():
+    p = np.zeros((3, 1, 4, 4), np.float32)
+    p[1, 0, 0, 0] = np.nan
+    keep = nan_ratio_gate(p, 0.0)
+    np.testing.assert_array_equal(keep, [True, False, True])
+    keep_loose = nan_ratio_gate(p, 0.1)
+    np.testing.assert_array_equal(keep_loose, [True, True, True])
+
+
+def test_full_pipeline_slice(tmp_path, rng):
+    # --- stage A: scenes + cut ------------------------------------------
+    scenes_dir = tmp_path / "scenes"
+    patches_dir = tmp_path / "patches"
+    scenes_dir.mkdir()
+    make_scene_file(scenes_dir / "sceneA.nc", rng)
+    make_scene_file(scenes_dir / "sceneB.nc", rng)
+
+    from kmsr_tpu.pipeline.cut import main as cut_main
+
+    rc = cut_main(
+        [
+            "--input-dir", str(scenes_dir),
+            "--output-dir", str(patches_dir),
+            "--patch-size", "64",
+            "--stride-ratio", "0.5",
+        ]
+    )
+    assert rc == 0
+    patch_files = sorted(patches_dir.glob("*.nc"))
+    assert len(patch_files) > 0
+    with NCFile(patch_files[0], "r") as f:
+        assert f.has_group(GROUP_GEO)
+        assert f.has_group("navigation_data")
+        attrs = f.get_attrs()
+        assert attrs["patch_size"] == 64
+
+    # --- pseudo-denoise: add a 'denoised' group (denoise stage tested
+    # separately once the NLM op lands) --------------------------------
+    for p in patch_files:
+        geo = read_band_stack(p, GROUP_GEO)
+        den = geo + rng.normal(0, 0.01, geo.shape).astype(np.float32)
+        write_band_stack(p, GROUP_DENOISED, den, mode="a")
+
+    # --- stage D: noise pool --------------------------------------------
+    from kmsr_tpu.pipeline.noise_pool_cli import main as pool_main
+
+    pool_file = tmp_path / "pool.npy"
+    rc = pool_main(
+        [
+            "--input-dir", str(patches_dir),
+            "--output-file", str(pool_file),
+            "--patch-size", "8",
+            "--samples-per-file", "2",
+        ]
+    )
+    assert rc == 0
+    pool = np.load(pool_file)
+    assert pool.shape == (2 * len(patch_files), 5, 8, 8)
+
+    # --- stage C: apply kernel -----------------------------------------
+    kernel = rng.uniform(0, 1, size=(5, 13, 13)).astype(np.float32)
+    kernel_file = tmp_path / "kernel_per_band.npy"
+    np.save(kernel_file, kernel)
+
+    from kmsr_tpu.pipeline.apply_kernel import main as apply_main
+
+    blurred_dir = tmp_path / "blurred"
+    rc = apply_main(
+        [
+            "--input-dir", str(patches_dir),
+            "--kernel", str(kernel_file),
+            "--output-dir", str(blurred_dir),
+        ]
+    )
+    assert rc == 0
+    blurred_files = sorted(blurred_dir.glob("*_blurred.nc"))
+    assert len(blurred_files) == len(patch_files)
+    b = read_band_stack(blurred_files[0], GROUP_BLURRED)
+    assert b.shape == (5, 8, 8)
+    # original groups preserved by the copy
+    assert read_band_stack(blurred_files[0], GROUP_DENOISED).shape == (5, 64, 64)
+
+    # --- validation gate -------------------------------------------------
+    from kmsr_tpu.pipeline.check_shapes import main as check_main
+
+    rc = check_main(["--input-dir", str(blurred_dir), "--size", "8"])
+    assert rc == 0
+    rc_bad = check_main(["--input-dir", str(patches_dir), "--size", "8"])
+    assert rc_bad == 1  # patches have no 'blurred' group
+
+    # --- stage E: make train data ----------------------------------------
+    from kmsr_tpu.pipeline.make_train_data import main as make_main
+
+    train_dir = tmp_path / "train"
+    rc = make_main(
+        [
+            "--input-dir", str(blurred_dir),
+            "--noise-pool", str(pool_file),
+            "--output-dir", str(train_dir),
+            "--hr-size", "64",
+            "--lr-size", "8",
+        ]
+    )
+    assert rc == 0
+    train_files = sorted(train_dir.glob("*_train.nc"))
+    assert len(train_files) == len(patch_files)
+    hr = read_band_stack(train_files[0], GROUP_HR)
+    lr = read_band_stack(train_files[0], GROUP_LR)
+    assert hr.shape == (5, 64, 64) and lr.shape == (5, 8, 8)
+
+    # lr must equal blurred + a pool entry
+    blurred0 = read_band_stack(blurred_files[0], GROUP_BLURRED)
+    noise = lr - blurred0
+    dists = np.abs(pool - noise[None]).reshape(pool.shape[0], -1).max(axis=1)
+    assert dists.min() < 1e-5
+
+    # --- determinism: same seed -> identical lr --------------------------
+    train_dir2 = tmp_path / "train2"
+    make_main(
+        [
+            "--input-dir", str(blurred_dir),
+            "--noise-pool", str(pool_file),
+            "--output-dir", str(train_dir2),
+            "--hr-size", "64",
+            "--lr-size", "8",
+        ]
+    )
+    lr2 = read_band_stack(sorted(train_dir2.glob("*_train.nc"))[0], GROUP_LR)
+    np.testing.assert_array_equal(lr, lr2)
+
+
+def test_inspect_nc(tmp_path, rng, capsys):
+    path = tmp_path / "x.nc"
+    make_scene_file(path, rng, h=32, w=32)
+    from kmsr_tpu.pipeline.inspect_nc import main as inspect_main
+
+    assert inspect_main([str(path)]) == 0
+    out = capsys.readouterr().out
+    assert "geophysical_data" in out and "L_TOA_443" in out
+    assert inspect_main([str(path), "--list-only"]) == 0
+    out = capsys.readouterr().out
+    assert "latitude" in out
