@@ -1,0 +1,67 @@
+"""Headline benchmark: degraded 64x64 training patches / sec / chip.
+
+Measures the fused degrade path (13x13 per-band blur + replicate pad +
+x8 downsample, the data-factory hot op) on device-resident batches.
+Baseline target: 50,000 patches/s/chip on TPU v5e (BASELINE.md).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_PATCHES_PER_SEC = 50_000.0
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from kmsr_tpu.ops import degrade_fused
+
+    batch = 8192
+    iters = 50
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(5.0, 2.0, (batch, 5, 64, 64)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, (5, 13, 13)).astype(np.float32))
+
+    fn = jax.jit(lambda a, k: degrade_fused(a, k, factor=8))
+
+    def drain(o):
+        # Under the remote-tunnel backend, block_until_ready does not
+        # round-trip; a scalar readback is the only reliable fence.
+        return float(jnp.sum(o))
+
+    drain(fn(x, kernel))  # compile
+    for _ in range(3):
+        out = fn(x, kernel)
+    drain(out)  # warm queue
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x, kernel)
+    drain(out)  # device queue is in-order: this fences all prior launches
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "degraded_64px_patches_per_sec_per_chip",
+                "value": round(patches_per_sec, 1),
+                "unit": "patches/s",
+                "vs_baseline": round(patches_per_sec / BASELINE_PATCHES_PER_SEC, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

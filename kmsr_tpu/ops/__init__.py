@@ -10,3 +10,7 @@ from .degrade import (
     compose_with_box,
 )
 from .kernel_algebra import compose_chain, compose_pair, effective_kernel, full_conv2d
+
+# The fastest fused degrade path; re-pointed at the Pallas kernel on TPU
+# once `degrade_pallas` lands (bench.py and apply_kernel use this alias).
+degrade_fused = degrade_strided
