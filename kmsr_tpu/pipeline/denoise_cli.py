@@ -1,0 +1,148 @@
+"""Stage: NLM denoise (single-file + batch folder CLIs + comparison tool).
+
+Contract parity with `denoise/denoise.py:150-284` (copy the input file,
+append a `denoised` group with sigma/h provenance attrs, optional
+comparison plots), `denoise/batch_denoise.py` (folder driver with
+success/failure accounting) and `denoise/compare_denoised.py`
+(before/after/residual figure reading sigma/h attrs back).
+
+Usage:
+    python -m kmsr_tpu.pipeline.denoise_cli file.nc --output OUT [--h-factor 1.8] [--plot]
+    python -m kmsr_tpu.pipeline.denoise_cli --batch DIR --output OUT [--pattern '*.nc']
+    python -m kmsr_tpu.pipeline.denoise_cli --compare file.nc --band L_TOA_443 --output OUT
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..data.sampler import list_patch_files
+from ..io.ncio import NCFile, copy_file_with_groups, read_band_stack, write_band_stack
+from ..io.schema import BAND_NAMES, GROUP_DENOISED, GROUP_GEO
+from ..ops.nlm import PATCH_DISTANCE, PATCH_SIZE, denoise_stack
+from .common import run_per_file
+
+
+def process_nc_file(
+    file_path: str,
+    output_dir: str,
+    h_factor: float = 1.8,
+    plot: bool = False,
+    verbose: bool = True,
+    use_device: bool = True,
+) -> str:
+    """Denoise all bands of one file; returns the output path."""
+    os.makedirs(output_dir, exist_ok=True)
+    stack = read_band_stack(file_path, GROUP_GEO)
+    denoised, sigmas = denoise_stack(stack, h_factor=h_factor, use_device=use_device)
+
+    stem = os.path.splitext(os.path.basename(file_path))[0]
+    out_path = os.path.join(output_dir, f"{stem}_denoised.nc")
+    copy_file_with_groups(file_path, out_path)
+
+    attrs: dict = {
+        "h_factor": h_factor,
+        "denoising_method": "Non-Local Means (NLM)",
+        "patch_size": PATCH_SIZE,
+        "patch_distance": PATCH_DISTANCE,
+    }
+    for band, sig in zip(BAND_NAMES, sigmas):
+        attrs[f"{band}_sigma"] = sig
+        attrs[f"{band}_h"] = h_factor * sig
+    attrs["average_sigma"] = float(np.mean(sigmas))
+    attrs["average_h"] = h_factor * float(np.mean(sigmas))
+    write_band_stack(
+        out_path, GROUP_DENOISED, denoised, mode="a", group_attrs=attrs,
+        nan_to_fill=False,
+    )
+    if verbose:
+        print(
+            f"{os.path.basename(file_path)}: avg sigma {np.mean(sigmas):.6f} "
+            f"h {h_factor * np.mean(sigmas):.6f} -> {out_path}"
+        )
+    if plot:
+        from ..analysis.visualize import plot_denoise_comparison
+
+        plot_dir = os.path.join(output_dir, "plots")
+        os.makedirs(plot_dir, exist_ok=True)
+        for i, band in enumerate(BAND_NAMES):
+            plot_denoise_comparison(
+                stack[i], denoised[i],
+                os.path.join(plot_dir, f"{stem}_{band}_compare.png"), band,
+            )
+    return out_path
+
+
+def batch_denoise(
+    input_dir: str,
+    output_dir: str,
+    pattern: str = "*.nc",
+    h_factor: float = 1.8,
+    use_device: bool = True,
+    progress: bool = True,
+):
+    files = list_patch_files(input_dir, pattern)
+
+    def one(path):
+        process_nc_file(
+            path, output_dir, h_factor=h_factor, verbose=False, use_device=use_device
+        )
+
+    report = run_per_file(files, one, desc="denoising", progress=progress)
+    print(f"denoise: {report.summary()} -> {output_dir}")
+    return report
+
+
+def compare_denoised(file_path: str, band: str, output_path: str) -> dict:
+    """Before/after/residual figure, reading sigma/h provenance back."""
+    from ..analysis.visualize import plot_denoise_comparison
+
+    orig = read_band_stack(file_path, GROUP_GEO, band_names=[band])[0]
+    den = read_band_stack(file_path, GROUP_DENOISED, band_names=[band])[0]
+    with NCFile(file_path, "r") as f:
+        attrs = f.get_attrs(group=GROUP_DENOISED)
+    stats = plot_denoise_comparison(orig, den, output_path, band)
+    stats["sigma"] = attrs.get(f"{band}_sigma")
+    stats["h"] = attrs.get(f"{band}_h")
+    print(
+        f"{band}: rmse={stats['rmse']:.6f} sigma={stats['sigma']} h={stats['h']}"
+        f" -> {output_path}"
+    )
+    return stats
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="NLM denoise stage")
+    p.add_argument("file", nargs="?", help="single .nc file to denoise")
+    p.add_argument("--batch", default=None, help="denoise a whole folder")
+    p.add_argument("--pattern", default="*.nc")
+    p.add_argument("--output", required=True, help="output directory (or file for --compare)")
+    p.add_argument("--h-factor", type=float, default=1.8,
+                   help="denoise strength factor (GOCI-2: 1.8, Landsat: 1.0)")
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--compare", default=None, help="compare mode: denoised .nc file")
+    p.add_argument("--band", default=BAND_NAMES[0])
+    p.add_argument("--cpu-reference", action="store_true",
+                   help="use the numpy reference NLM instead of the device path")
+    a = p.parse_args(argv)
+    use_device = not a.cpu_reference
+    if a.compare:
+        compare_denoised(a.compare, a.band, a.output)
+        return 0
+    if a.batch:
+        report = batch_denoise(
+            a.batch, a.output, pattern=a.pattern, h_factor=a.h_factor,
+            use_device=use_device,
+        )
+        return 0 if report.n_fail == 0 else 1
+    if not a.file:
+        p.error("provide a file, --batch DIR, or --compare FILE")
+    process_nc_file(a.file, a.output, h_factor=a.h_factor, plot=a.plot,
+                    use_device=use_device)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,60 @@
+"""Pallas fused degrade vs the XLA reference path (interpret mode on CPU)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmsr_tpu.ops import degrade
+from kmsr_tpu.ops.degrade_pallas import degrade_pallas, degrade_pallas_chwb
+
+
+@pytest.fixture
+def data(rng):
+    img = rng.normal(5, 2, size=(4, 5, 64, 64)).astype(np.float32)
+    kernel = rng.uniform(0, 1, size=(5, 13, 13)).astype(np.float32)
+    return jnp.asarray(img), jnp.asarray(kernel)
+
+
+def test_pallas_matches_xla(data):
+    img, kernel = data
+    want = np.asarray(degrade(img, kernel, factor=8))
+    got = np.asarray(degrade_pallas(img, kernel, factor=8, interpret=True))
+    assert got.shape == want.shape == (4, 5, 8, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_factor4(rng):
+    img = jnp.asarray(rng.normal(size=(2, 5, 32, 32)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(5, 13, 13)).astype(np.float32))
+    want = np.asarray(degrade(img, kernel, factor=4))
+    got = np.asarray(degrade_pallas(img, kernel, factor=4, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_fused_noise(data, rng):
+    img, kernel = data
+    noise = rng.normal(0, 0.1, size=(4, 5, 8, 8)).astype(np.float32)
+    want = np.asarray(degrade(img, kernel, factor=8)) + noise
+    got = np.asarray(
+        degrade_pallas(img, kernel, noise=jnp.asarray(noise), factor=8, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_chwb_layout(data):
+    img, kernel = data
+    x = jnp.transpose(img, (1, 2, 3, 0))
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - 4)))
+    out = degrade_pallas_chwb(x, kernel, factor=8, interpret=True)
+    assert out.shape == (5, 8, 8, 128)
+    want = np.asarray(degrade(img, kernel, factor=8))
+    got = np.asarray(jnp.transpose(out, (3, 0, 1, 2))[:4])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_nonsquare_batch(rng):
+    """Batch not a multiple of 128 gets padded internally."""
+    img = jnp.asarray(rng.normal(size=(3, 5, 16, 16)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(5, 13, 13)).astype(np.float32))
+    want = np.asarray(degrade(img, kernel, factor=8))
+    got = np.asarray(degrade_pallas(img, kernel, factor=8, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

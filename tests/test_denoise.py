@@ -1,0 +1,103 @@
+"""Sigma estimation + NLM denoise tests (numpy reference vs JAX path)."""
+import numpy as np
+import pytest
+
+from kmsr_tpu.ops.nlm import (
+    denoise_band,
+    denoise_stack,
+    nlm_denoise_2d,
+    nlm_denoise_np,
+)
+from kmsr_tpu.ops.sigma import estimate_sigma, estimate_sigma_np
+
+
+def test_sigma_estimates_white_noise(rng):
+    sigma_true = 0.37
+    img = rng.normal(0, sigma_true, size=(128, 128)).astype(np.float32)
+    est_np = estimate_sigma_np(img)
+    est_jax = float(estimate_sigma(img))
+    assert est_np == pytest.approx(sigma_true, rel=0.08)
+    assert est_jax == pytest.approx(est_np, rel=1e-3)
+
+
+def test_sigma_near_zero_on_smooth_image():
+    yy, xx = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 64))
+    img = np.sin(3 * xx) + yy**2
+    assert estimate_sigma_np(img) < 5e-3
+    assert float(estimate_sigma(img.astype(np.float32))) < 5e-3
+
+
+def test_sigma_on_noisy_structured_image(rng):
+    yy, xx = np.meshgrid(np.linspace(0, 1, 128), np.linspace(0, 1, 128))
+    clean = 5 * np.sin(4 * xx) * np.cos(3 * yy)
+    noisy = clean + rng.normal(0, 0.2, clean.shape)
+    est = estimate_sigma_np(noisy.astype(np.float32))
+    assert est == pytest.approx(0.2, rel=0.25)
+
+
+def test_nlm_jax_matches_numpy(rng):
+    img = rng.normal(2.0, 0.5, size=(24, 24)).astype(np.float32)
+    h, sigma = 0.3, 0.2
+    want = nlm_denoise_np(img, h, sigma, patch_size=3, patch_distance=4)
+    got = np.asarray(nlm_denoise_2d(img, h, sigma, patch_size=3, patch_distance=4))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_nlm_reduces_noise(rng):
+    yy, xx = np.meshgrid(np.linspace(0, 1, 48), np.linspace(0, 1, 48))
+    clean = (5 * np.sin(6 * xx) * np.cos(4 * yy)).astype(np.float32)
+    noisy = clean + rng.normal(0, 0.3, clean.shape).astype(np.float32)
+    den = np.asarray(
+        nlm_denoise_2d(noisy, h=0.3 * 1.5, sigma=0.3, patch_size=5, patch_distance=6)
+    )
+    err_before = np.sqrt(np.mean((noisy - clean) ** 2))
+    err_after = np.sqrt(np.mean((den - clean) ** 2))
+    assert err_after < 0.6 * err_before
+
+
+def test_denoise_band_nan_contract(rng):
+    band = rng.normal(3.0, 0.2, size=(40, 40)).astype(np.float32)
+    band[:5, :5] = np.nan
+    den, sigma = denoise_band(band, h_factor=1.8)
+    assert np.isnan(den[:5, :5]).all()
+    assert np.isfinite(den[5:, 5:]).all()
+    assert sigma > 0
+
+
+def test_denoise_band_all_nan():
+    band = np.full((16, 16), np.nan, np.float32)
+    den, sigma = denoise_band(band)
+    assert np.isnan(den).all() and sigma == 0.0
+
+
+def test_denoise_stack_shapes(rng):
+    stack = rng.normal(3.0, 0.2, size=(5, 32, 32)).astype(np.float32)
+    den, sigmas = denoise_stack(stack)
+    assert den.shape == stack.shape
+    assert len(sigmas) == 5
+
+
+def test_denoise_pipeline_stage(tmp_path, rng):
+    from kmsr_tpu.io import GROUP_DENOISED, GROUP_GEO, NCFile, read_band_stack, write_band_stack
+    from kmsr_tpu.pipeline.denoise_cli import main as denoise_main
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    for name in ["p1", "p2"]:
+        stack = rng.normal(3.0, 0.3, size=(5, 32, 32)).astype(np.float32)
+        write_band_stack(src / f"{name}.nc", GROUP_GEO, stack, mode="w")
+    rc = denoise_main(["--batch", str(src), "--output", str(out)])
+    assert rc == 0
+    files = sorted(out.glob("*_denoised.nc"))
+    assert len(files) == 2
+    den = read_band_stack(files[0], GROUP_DENOISED)
+    assert den.shape == (5, 32, 32)
+    with NCFile(files[0], "r") as f:
+        attrs = f.get_attrs(group=GROUP_DENOISED)
+    assert attrs["h_factor"] == pytest.approx(1.8)
+    assert attrs["patch_size"] == 7 and attrs["patch_distance"] == 11
+    assert attrs["average_sigma"] > 0
+    assert "L_TOA_443_sigma" in attrs
+    # original group preserved
+    assert read_band_stack(files[0], GROUP_GEO).shape == (5, 32, 32)
