@@ -1,0 +1,59 @@
+"""Stage: MoE kernel-bank training (CLI).
+
+Defaults mirror `muti_kernel/train_gemini.py:145-161`.
+
+Usage:
+    python -m kmsr_tpu.pipeline.train_moe_cli --patch-dir DIR --outdir OUT \
+        [--format npy|nc] [--iters 5000] [--n-kernels 10]
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..data.sampler import PatchPool
+from ..io.schema import GROUP_DENOISED
+from ..models.moe import MoEConfig
+from ..train.moe import MoETrainConfig, train_moe
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Train MoE kernel bank")
+    p.add_argument("--patch-dir", required=True)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--format", choices=["npy", "nc"], default="npy")
+    p.add_argument("--group", default=GROUP_DENOISED)
+    p.add_argument("--iters", type=int, default=5000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--n-kernels", type=int, default=10)
+    p.add_argument("--kernel-size", type=int, default=13)
+    p.add_argument("--factor", type=int, default=4)
+    p.add_argument("--temp-start", type=float, default=5.0)
+    p.add_argument("--temp-end", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+    if a.format == "npy":
+        pool = PatchPool.from_npy_dir(a.patch_dir)
+    else:
+        pool = PatchPool.from_nc_dir(a.patch_dir, group=a.group)
+    hr_size = pool.shape[-1]
+    cfg = MoETrainConfig(
+        iters=a.iters,
+        batch_size=a.batch_size,
+        lr_rate=a.lr,
+        temp_start=a.temp_start,
+        temp_end=a.temp_end,
+        lr_crop_size=hr_size // a.factor,
+        model=MoEConfig(
+            n_kernels=a.n_kernels, kernel_size=a.kernel_size, factor=a.factor
+        ),
+        outdir=a.outdir,
+        seed=a.seed,
+    )
+    out = train_moe(pool, cfg)
+    print(f"saved {len(out['artifacts'])} MoE artifacts -> {a.outdir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,201 @@
+"""Mixture-of-kernels (MoE bank) training.
+
+Schedule parity with `muti_kernel/train_gemini.py:145-252`: 5000 iters,
+Adam 1e-4 for model (selector + banks) and D, Gumbel temperature annealed
+linspace(5.0 -> 0.5), LSGAN; G regularized by the per-band 4-term kernel
+regularizer on the MEAN of the bank's effective kernels (differentiable —
+the bank is parameterized directly, no extraction quirk here); selection
+histogram logged every 100 iters; artifacts: `moe_kernels/kernel_{i}.npy`
+(5,13,13 each, band-sum 1), `sigma_{i}.npy` (5,), and a full model
+checkpoint (npz of flattened params — the reference saves a torch
+state_dict `moe_model.pth`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.sampler import PatchPool
+from ..losses import lsgan_d_loss, lsgan_g_loss, per_band_kernel_regularization
+from ..models.discriminator import (
+    DiscriminatorConfig,
+    discriminator_forward,
+    init_discriminator,
+)
+from ..models.moe import (
+    MoEConfig,
+    effective_kernels,
+    effective_sigmas,
+    init_moe,
+    moe_forward,
+)
+from .single_kernel import random_crops
+from .state import GANTrainState, init_gan_state, make_gan_optimizers
+
+
+@dataclasses.dataclass
+class MoETrainConfig:
+    iters: int = 5000
+    batch_size: int = 8
+    hr_patch_size: int = 256
+    lr_crop_size: int = 64          # 256 / 4 (::4 decimation)
+    lr_rate: float = 1e-4
+    temp_start: float = 5.0
+    temp_end: float = 0.5
+    reg_weights: dict = dataclasses.field(
+        default_factory=lambda: dict(alpha=0.5, beta=0.5, gamma=5.0, delta=1.0)
+    )
+    model: MoEConfig = dataclasses.field(default_factory=MoEConfig)
+    discriminator: DiscriminatorConfig = dataclasses.field(
+        default_factory=DiscriminatorConfig
+    )
+    log_every: int = 100
+    outdir: str = "output/moe_kernels_run"
+    seed: int = 0
+    verbose: bool = True
+
+
+def make_moe_train_step(cfg: MoETrainConfig) -> Callable:
+    g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=None)
+    d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=None)
+
+    def step(state: GANTrainState, hr: jax.Array, crop_src: jax.Array, temp: jax.Array):
+        rng, k_crop, k_fwd1, k_fwd2 = jax.random.split(state.rng, 4)
+        real = random_crops(k_crop, crop_src, cfg.lr_crop_size)
+        moe_params, moe_state = state.g_params, state.d_state["moe"]
+
+        # ---- D step (G forward without gradients, fresh gumbel draw) -----
+        fake, _, _, _ = moe_forward(
+            moe_params, moe_state, k_fwd1, hr, temp=temp, train=True, cfg=cfg.model
+        )
+        fake = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(d_params, d_state):
+            pred_real, st = discriminator_forward(d_params, d_state, real, train=True)
+            pred_fake, st = discriminator_forward(d_params, st, fake, train=True)
+            return lsgan_d_loss(pred_real, pred_fake), st
+
+        (loss_d, d_disc_state), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params, state.d_state["disc"])
+        d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- G step (selector + banks) -----------------------------------
+        def g_loss_fn(params, disc_state):
+            fake_g, weights, kernels, new_moe_state = moe_forward(
+                params, moe_state, k_fwd2, hr, temp=temp, train=True, cfg=cfg.model
+            )
+            pred_fake, st = discriminator_forward(d_params, disc_state, fake_g, train=True)
+            adv = lsgan_g_loss(pred_fake)
+            avg_kernel = kernels.mean(axis=0)  # [C, kh, kw]
+            reg = per_band_kernel_regularization(
+                avg_kernel, cfg.reg_weights, center_max=False
+            )
+            return adv + reg, (st, new_moe_state, adv, reg, weights)
+
+        (loss_g, (d_disc_state, new_moe_state, adv, reg, weights)), g_grads = (
+            jax.value_and_grad(g_loss_fn, has_aux=True)(moe_params, d_disc_state)
+        )
+        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, moe_params)
+        g_params = optax.apply_updates(moe_params, g_updates)
+
+        new_state = GANTrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            d_state={"disc": d_disc_state, "moe": new_moe_state},
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            rng=rng,
+        )
+        selection = jnp.sum(
+            jax.nn.one_hot(jnp.argmax(weights, axis=1), cfg.model.n_kernels), axis=0
+        )
+        metrics = {
+            "loss_D": loss_d,
+            "loss_G_adv": adv,
+            "loss_reg": reg,
+            "selection": selection,
+        }
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,)), (g_tx, d_tx)
+
+
+def init_moe_training(cfg: MoETrainConfig) -> GANTrainState:
+    key = jax.random.PRNGKey(cfg.seed)
+    k_m, k_d, k_s = jax.random.split(key, 3)
+    moe_params, moe_state = init_moe(k_m, cfg.model)
+    d_params, disc_state = init_discriminator(k_d, cfg.discriminator)
+    g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=None)
+    d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=None)
+    state = init_gan_state(
+        k_s, moe_params, d_params, {"disc": disc_state, "moe": moe_state}, g_tx, d_tx
+    )
+    return state
+
+
+def save_moe_artifacts(params: dict, out_dir: str) -> list[str]:
+    """kernel_{i}.npy + sigma_{i}.npy + moe_model.npz (state-dict analog)."""
+    os.makedirs(out_dir, exist_ok=True)
+    kernels = np.asarray(effective_kernels(params))
+    sigmas = np.asarray(effective_sigmas(params))
+    paths = []
+    for i in range(kernels.shape[0]):
+        kp = os.path.join(out_dir, f"kernel_{i}.npy")
+        sp = os.path.join(out_dir, f"sigma_{i}.npy")
+        np.save(kp, kernels[i])
+        np.save(sp, sigmas[i])
+        paths += [kp, sp]
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    np.savez(
+        os.path.join(out_dir, "moe_model.npz"),
+        **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat},
+    )
+    paths.append(os.path.join(out_dir, "moe_model.npz"))
+    return paths
+
+
+def train_moe(
+    pool: PatchPool,
+    cfg: MoETrainConfig = MoETrainConfig(),
+    progress: bool = True,
+) -> dict:
+    os.makedirs(cfg.outdir, exist_ok=True)
+    step_fn, _ = make_moe_train_step(cfg)
+    state = init_moe_training(cfg)
+    temps = np.linspace(cfg.temp_start, cfg.temp_end, cfg.iters).astype(np.float32)
+    host_rng = np.random.default_rng(cfg.seed)
+
+    iterator = range(cfg.iters)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(iterator, desc="Training MoE", unit="iter")
+        except ImportError:
+            pass
+
+    history = []
+    for t in iterator:
+        hr = jnp.asarray(pool.sample(host_rng, cfg.batch_size))
+        crop_src = jnp.asarray(pool.sample(host_rng, cfg.batch_size))
+        state, m = step_fn(state, hr, crop_src, jnp.float32(temps[t]))
+        if (t + 1) % cfg.log_every == 0:
+            sel = np.asarray(m["selection"]).astype(int)
+            history.append((t + 1, float(m["loss_D"]), sel))
+            if cfg.verbose:
+                print(
+                    f"Iter {t + 1} | Temp {temps[t]:.2f} | D {float(m['loss_D']):.3f} "
+                    f"| Selection {sel}"
+                )
+
+    artifacts = save_moe_artifacts(jax.device_get(state.g_params), cfg.outdir)
+    return {"state": state, "artifacts": artifacts, "history": history}

@@ -1,0 +1,131 @@
+"""SR model training (framework extension; see models/sr.py).
+
+Trains the pixel-shuffle SR CNN on (hr, lr) pairs produced by the data
+factory (`E_make_train_data` stage): L1 loss, Adam with cosine decay,
+DP-sharded batch, periodic PSNR/SSIM eval, orbax checkpointing.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.sr import SRConfig, init_sr, sr_forward
+from ..ops.metrics import psnr, ssim
+
+
+@dataclasses.dataclass
+class SRTrainConfig:
+    iters: int = 20_000
+    batch_size: int = 32
+    lr_rate: float = 2e-4
+    model: SRConfig = dataclasses.field(default_factory=SRConfig)
+    compute_dtype: str = "bfloat16"
+    log_every: int = 100
+    eval_every: int = 1000
+    outdir: str = "output/sr"
+    seed: int = 0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SRTrainState:
+    step: jax.Array
+    params: dict
+    opt_state: tuple
+
+
+def make_sr_train_step(cfg: SRTrainConfig):
+    tx = optax.adam(
+        optax.cosine_decay_schedule(cfg.lr_rate, cfg.iters, alpha=0.1)
+    )
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def step(state: SRTrainState, lr_batch: jax.Array, hr_batch: jax.Array):
+        def loss_fn(params):
+            pred = sr_forward(params, lr_batch, cfg.model, compute_dtype=dtype)
+            return jnp.mean(jnp.abs(pred - hr_batch))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return SRTrainState(state.step + 1, params, opt_state), {"l1": loss}
+
+    return jax.jit(step, donate_argnums=(0,)), tx
+
+
+def init_sr_training(cfg: SRTrainConfig) -> SRTrainState:
+    params = init_sr(jax.random.PRNGKey(cfg.seed), cfg.model)
+    tx = optax.adam(optax.cosine_decay_schedule(cfg.lr_rate, cfg.iters, alpha=0.1))
+    return SRTrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+
+
+def evaluate_sr(
+    params: dict,
+    lr_batch: np.ndarray,
+    hr_batch: np.ndarray,
+    cfg: SRConfig = SRConfig(),
+) -> dict:
+    pred = sr_forward(params, jnp.asarray(lr_batch), cfg, compute_dtype=jnp.float32)
+    rng_range = float(np.nanmax(hr_batch) - np.nanmin(hr_batch)) or 1.0
+    ps, ss = [], []
+    for i in range(pred.shape[0]):
+        ps.append(float(psnr(pred[i], jnp.asarray(hr_batch[i]), rng_range)))
+        ss.append(float(ssim(pred[i], jnp.asarray(hr_batch[i]), rng_range)))
+    return {"psnr": float(np.mean(ps)), "ssim": float(np.mean(ss))}
+
+
+def train_sr(
+    pairs: tuple[np.ndarray, np.ndarray],
+    cfg: SRTrainConfig = SRTrainConfig(),
+    mesh=None,
+    progress: bool = True,
+) -> dict:
+    """pairs: (lr [N,C,h,w], hr [N,C,H,W]) arrays."""
+    lr_all, hr_all = pairs
+    assert lr_all.shape[0] == hr_all.shape[0]
+    os.makedirs(cfg.outdir, exist_ok=True)
+    step_fn, _ = make_sr_train_step(cfg)
+    state = init_sr_training(cfg)
+    if mesh is not None:
+        from ..parallel.mesh import replicated
+
+        state = jax.device_put(state, replicated(mesh))
+    host_rng = np.random.default_rng(cfg.seed)
+    log = []
+    iterator = range(cfg.iters)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(iterator, desc="Training SR", unit="iter")
+        except ImportError:
+            pass
+    put = jnp.asarray
+    if mesh is not None:
+        import functools
+
+        from ..parallel.mesh import shard_batch
+
+        put = functools.partial(shard_batch, mesh)
+    for t in iterator:
+        idx = host_rng.integers(0, lr_all.shape[0], cfg.batch_size)
+        state, m = step_fn(state, put(lr_all[idx]), put(hr_all[idx]))
+        if (t + 1) % cfg.log_every == 0:
+            log.append((t + 1, float(m["l1"])))
+        if (t + 1) % cfg.eval_every == 0:
+            idx = host_rng.integers(0, lr_all.shape[0], min(8, lr_all.shape[0]))
+            ev = evaluate_sr(state.params, lr_all[idx], hr_all[idx], cfg.model)
+            if progress:
+                print(f"  [eval iter {t+1}] psnr={ev['psnr']:.2f} ssim={ev['ssim']:.4f}")
+    from ..utils.params_io import save_params
+
+    params = jax.device_get(state.params)
+    model_path = os.path.join(cfg.outdir, "sr_model.npz")
+    save_params(model_path, params)
+    return {"state": state, "log": log, "model_path": model_path}

@@ -1,0 +1,78 @@
+"""Dynamic + MoE training loop smoke tests."""
+import jax
+import numpy as np
+import pytest
+
+from kmsr_tpu.data import synthetic_pool
+from kmsr_tpu.models.discriminator import DiscriminatorConfig
+from kmsr_tpu.models.dynamic import DynamicConfig
+from kmsr_tpu.models.moe import MoEConfig
+from kmsr_tpu.train.dynamic import (
+    DynamicTrainConfig,
+    bulk_extract_kernels,
+    train_dynamic,
+)
+from kmsr_tpu.train.moe import MoETrainConfig, train_moe
+
+
+@pytest.fixture(scope="module")
+def pool():
+    return synthetic_pool(np.random.default_rng(1), n=6, size=32, blur_sigma=None)
+
+
+def test_train_dynamic_smoke(tmp_path, pool):
+    cfg = DynamicTrainConfig(
+        iters=3,
+        batch_size=2,
+        hr_patch_size=32,
+        lr_crop_size=4,
+        log_every=2,
+        kernel_log_every=2,
+        outdir=str(tmp_path),
+        verbose=False,
+        model=DynamicConfig(mid_ch=4),
+        discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+    )
+    out = train_dynamic(pool, cfg, progress=False)
+    assert out["kernel_per_band"].shape == (5, 13, 13)
+    np.testing.assert_allclose(
+        out["kernel_per_band"].sum(axis=(1, 2)), 1.0, rtol=1e-4
+    )
+    assert (tmp_path / "final_results" / "kernel_merged.npy").exists()
+    assert (tmp_path / "batch_kernels_iter2.npy").exists()
+    assert (tmp_path / "visuals" / "kernel_ascii_iter2.txt").exists()
+    log = (tmp_path / "training_log.txt").read_text().splitlines()
+    assert len(log) == 4  # header + 3 iters
+
+    # sigma should move toward targets under the noise regularizer
+    state = out["state"]
+    paths = bulk_extract_kernels(
+        jax.device_get(state.g_params), pool, str(tmp_path / "bulk"), cfg.model
+    )
+    assert len(paths) == len(pool)
+    k0 = np.load(paths[0])
+    assert k0.shape == (5, 13, 13)
+
+
+def test_train_moe_smoke(tmp_path, pool):
+    cfg = MoETrainConfig(
+        iters=3,
+        batch_size=2,
+        hr_patch_size=32,
+        lr_crop_size=8,
+        log_every=2,
+        outdir=str(tmp_path / "moe"),
+        verbose=False,
+        model=MoEConfig(n_kernels=4),
+        discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+    )
+    out = train_moe(pool, cfg, progress=False)
+    for i in range(4):
+        k = np.load(tmp_path / "moe" / f"kernel_{i}.npy")
+        s = np.load(tmp_path / "moe" / f"sigma_{i}.npy")
+        assert k.shape == (5, 13, 13)
+        np.testing.assert_allclose(k.sum(axis=(1, 2)), 1.0, rtol=1e-4)
+        assert s.shape == (5,) and (s > 0).all()
+    assert (tmp_path / "moe" / "moe_model.npz").exists()
+    model = np.load(tmp_path / "moe" / "moe_model.npz")
+    assert any("kernel_bank" in k for k in model.files)
