@@ -1,1 +1,7 @@
-from .sampler import PatchPool, NaNPatchError, list_patch_files, synthetic_pool
+from .sampler import (
+    PatchPool,
+    StreamingPatchPool,
+    NaNPatchError,
+    list_patch_files,
+    synthetic_pool,
+)

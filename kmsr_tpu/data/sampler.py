@@ -109,6 +109,51 @@ class PatchPool:
         return out
 
 
+class StreamingPatchPool:
+    """PatchPool-compatible sampler backed by the native threaded loader
+    (`kmsr_tpu.runtime.NativePatchLoader`) — for datasets too large to hold
+    in memory. Same `sample`/`sample_crops` API as `PatchPool`.
+    """
+
+    def __init__(self, patch_dir: str, shape: tuple[int, int, int], n_threads: int = 8):
+        from ..runtime import NativePatchLoader
+
+        self.files = list_patch_files(patch_dir, "*.npy")
+        self._loader = NativePatchLoader(self.files, shape=shape, n_threads=n_threads)
+        self.shape_single = tuple(shape)
+        self.sources = self.files
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    @property
+    def shape(self) -> tuple:
+        return (len(self.files), *self.shape_single)
+
+    def sample(self, rng: np.random.Generator, batch_size: int) -> np.ndarray:
+        idx = rng.integers(0, len(self), size=batch_size).astype(np.int64)
+        return self._loader.gather(idx)
+
+    def sample_crops(
+        self, rng: np.random.Generator, batch_size: int, crop: int
+    ) -> np.ndarray:
+        full = self.sample(rng, batch_size)
+        _, h, w = self.shape_single
+        ys = rng.integers(0, h - crop + 1, size=batch_size)
+        xs = rng.integers(0, w - crop + 1, size=batch_size)
+        out = np.empty((batch_size, self.shape_single[0], crop, crop), np.float32)
+        for i, (y, x) in enumerate(zip(ys, xs)):
+            out[i] = full[i, :, y : y + crop, x : x + crop]
+        return out
+
+    def prefetch(self, rng: np.random.Generator, batch_size: int) -> None:
+        idx = rng.integers(0, len(self), size=batch_size).astype(np.int64)
+        self._loader.prefetch(idx)
+
+    def wait(self) -> np.ndarray:
+        return self._loader.wait()
+
+
 def synthetic_pool(
     rng: np.random.Generator,
     n: int = 32,

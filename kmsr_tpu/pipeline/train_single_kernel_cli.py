@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--kernel-log-every", type=int, default=100)
     p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in OUTDIR/ckpt")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--differentiable-reg", action="store_true",
                    help="corrected gradient path through kernel extraction "
@@ -53,6 +55,7 @@ def main(argv=None) -> int:
         log_every=a.log_every,
         kernel_log_every=a.kernel_log_every,
         ckpt_every=a.ckpt_every,
+        resume=a.resume,
         outdir=a.outdir,
         seed=a.seed,
         differentiable_reg=a.differentiable_reg,

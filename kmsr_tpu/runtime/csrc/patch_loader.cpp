@@ -1,0 +1,198 @@
+// Threaded prefetching .npy patch loader — the native host-runtime piece of
+// the data factory.
+//
+// The reference's training loops re-open and re-parse ~32 NetCDF files from
+// Python on EVERY iteration (single_kernel/train.py:255-268), serially.
+// This loader keeps a worker pool that gathers an index batch of float32
+// .npy patches straight from the page cache into a caller buffer, and
+// supports asynchronous prefetch of the NEXT batch while the device step
+// runs — so host IO never blocks the accelerator.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+//
+// Supported payload: .npy v1.x, little-endian '<f4', C-order, fixed shape.
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct NpyInfo {
+  std::string path;
+  uint64_t data_offset = 0;
+  uint64_t n_floats = 0;
+};
+
+bool parse_npy_header(const std::string& path, uint64_t expect_floats,
+                      NpyInfo* out, std::string* err) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) {
+    *err = "cannot open " + path;
+    return false;
+  }
+  unsigned char magic[8];
+  if (std::fread(magic, 1, 8, f) != 8 || std::memcmp(magic, "\x93NUMPY", 6) != 0) {
+    *err = "bad npy magic: " + path;
+    std::fclose(f);
+    return false;
+  }
+  int major = magic[6];
+  uint32_t header_len = 0;
+  if (major == 1) {
+    unsigned char hl[2];
+    if (std::fread(hl, 1, 2, f) != 2) { std::fclose(f); *err = "short header"; return false; }
+    header_len = hl[0] | (hl[1] << 8);
+    out->data_offset = 10 + header_len;
+  } else {
+    unsigned char hl[4];
+    if (std::fread(hl, 1, 4, f) != 4) { std::fclose(f); *err = "short header"; return false; }
+    header_len = hl[0] | (hl[1] << 8) | (hl[2] << 16) | (hl[3] << 24);
+    out->data_offset = 12 + header_len;
+  }
+  std::string header(header_len, '\0');
+  if (std::fread(header.data(), 1, header_len, f) != header_len) {
+    std::fclose(f);
+    *err = "short header body";
+    return false;
+  }
+  std::fclose(f);
+  if (header.find("'<f4'") == std::string::npos &&
+      header.find("\"<f4\"") == std::string::npos) {
+    *err = "dtype is not <f4: " + path;
+    return false;
+  }
+  if (header.find("'fortran_order': True") != std::string::npos) {
+    *err = "fortran order unsupported: " + path;
+    return false;
+  }
+  out->path = path;
+  out->n_floats = expect_floats;
+  return true;
+}
+
+struct Loader {
+  std::vector<NpyInfo> files;
+  uint64_t patch_floats = 0;
+  int n_threads = 4;
+  std::string last_error;
+
+  // async prefetch state
+  std::thread prefetch_thread;
+  std::vector<int64_t> pending_indices;
+  float* pending_out = nullptr;
+  std::atomic<bool> prefetch_running{false};
+  std::atomic<int> prefetch_status{0};
+
+  bool read_one(int64_t idx, float* dst) {
+    if (idx < 0 || idx >= (int64_t)files.size()) {
+      last_error = "index out of range";
+      return false;
+    }
+    const NpyInfo& info = files[idx];
+    FILE* f = std::fopen(info.path.c_str(), "rb");
+    if (!f) {
+      last_error = "open failed: " + info.path;
+      return false;
+    }
+    bool ok = std::fseek(f, (long)info.data_offset, SEEK_SET) == 0 &&
+              std::fread(dst, sizeof(float), patch_floats, f) == patch_floats;
+    std::fclose(f);
+    if (!ok) last_error = "short read: " + info.path;
+    return ok;
+  }
+
+  bool gather(const int64_t* indices, int n, float* out) {
+    std::atomic<int> next{0};
+    std::atomic<bool> ok{true};
+    int workers = std::min(n_threads, n);
+    std::vector<std::thread> pool;
+    pool.reserve(workers);
+    for (int w = 0; w < workers; ++w) {
+      pool.emplace_back([&] {
+        int i;
+        while ((i = next.fetch_add(1)) < n) {
+          if (!read_one(indices[i], out + (uint64_t)i * patch_floats)) {
+            ok = false;
+            return;
+          }
+        }
+      });
+    }
+    for (auto& t : pool) t.join();
+    return ok.load();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* kmsr_loader_create(const char** paths, int n_paths, int64_t patch_floats,
+                         int n_threads) {
+  auto* ld = new Loader();
+  ld->patch_floats = (uint64_t)patch_floats;
+  ld->n_threads = n_threads > 0 ? n_threads : 4;
+  ld->files.reserve(n_paths);
+  for (int i = 0; i < n_paths; ++i) {
+    NpyInfo info;
+    std::string err;
+    if (!parse_npy_header(paths[i], patch_floats, &info, &err)) {
+      ld->last_error = err;
+      delete ld;
+      return nullptr;
+    }
+    ld->files.push_back(std::move(info));
+  }
+  return ld;
+}
+
+int kmsr_loader_gather(void* handle, const int64_t* indices, int n, float* out) {
+  auto* ld = static_cast<Loader*>(handle);
+  return ld->gather(indices, n, out) ? 0 : 1;
+}
+
+// Start asynchronously gathering `indices` into `out` (caller keeps both
+// alive until kmsr_loader_wait returns).
+int kmsr_loader_prefetch(void* handle, const int64_t* indices, int n, float* out) {
+  auto* ld = static_cast<Loader*>(handle);
+  if (ld->prefetch_running.load()) return 2;  // one prefetch at a time
+  ld->pending_indices.assign(indices, indices + n);
+  ld->pending_out = out;
+  ld->prefetch_running = true;
+  ld->prefetch_status = -1;
+  ld->prefetch_thread = std::thread([ld, n] {
+    bool ok = ld->gather(ld->pending_indices.data(), n, ld->pending_out);
+    ld->prefetch_status = ok ? 0 : 1;
+    ld->prefetch_running = false;
+  });
+  return 0;
+}
+
+int kmsr_loader_wait(void* handle) {
+  auto* ld = static_cast<Loader*>(handle);
+  if (ld->prefetch_thread.joinable()) ld->prefetch_thread.join();
+  return ld->prefetch_status.load();
+}
+
+int64_t kmsr_loader_num_files(void* handle) {
+  return (int64_t)static_cast<Loader*>(handle)->files.size();
+}
+
+const char* kmsr_loader_last_error(void* handle) {
+  return static_cast<Loader*>(handle)->last_error.c_str();
+}
+
+void kmsr_loader_destroy(void* handle) {
+  auto* ld = static_cast<Loader*>(handle);
+  if (ld->prefetch_thread.joinable()) ld->prefetch_thread.join();
+  delete ld;
+}
+
+}  // extern "C"

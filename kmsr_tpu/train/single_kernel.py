@@ -73,6 +73,7 @@ class SingleKernelConfig:
     )
     outdir: str = "output/kernelgan_single"
     ckpt_every: int = 0  # 0 = no orbax checkpoints
+    resume: bool = False  # resume from the latest checkpoint in outdir/ckpt
     seed: int = 0
     verbose: bool = True
 
@@ -181,11 +182,26 @@ def train_single_kernel(
     """
     os.makedirs(cfg.outdir, exist_ok=True)
     log_file = os.path.join(cfg.outdir, "training_log.txt")
-    with open(log_file, "w", encoding="utf-8") as f:
-        f.write(LOG_HEADER)
 
     step_fn, _ = make_train_step(cfg)
     state = init_training(cfg)
+
+    # checkpoint resume (the reference has no resume path at all —
+    # `muti_kernel/train.py:344-362` is commented out)
+    start_iter = 0
+    ckpt_dir = os.path.join(cfg.outdir, "ckpt")
+    if cfg.resume:
+        from .state import latest_checkpoint_step, restore_checkpoint
+
+        last = latest_checkpoint_step(ckpt_dir)
+        if last is not None:
+            state = restore_checkpoint(ckpt_dir, last, state)
+            start_iter = last
+            if cfg.verbose:
+                print(f"resumed from checkpoint step {last}")
+    if start_iter == 0:
+        with open(log_file, "w", encoding="utf-8") as f:
+            f.write(LOG_HEADER)
 
     if mesh is not None:
         from ..parallel.mesh import batch_sharding, replicated
@@ -195,10 +211,10 @@ def train_single_kernel(
     else:
         put_batch = jnp.asarray
 
-    host_rng = np.random.default_rng(cfg.seed)
+    host_rng = np.random.default_rng(cfg.seed + start_iter)
     prev_k = None
     log_rows: list[str] = []
-    iterator = range(cfg.iters)
+    iterator = range(start_iter, cfg.iters)
     if progress:
         try:
             from tqdm import tqdm
@@ -255,7 +271,7 @@ def train_single_kernel(
         if cfg.ckpt_every and (t + 1) % cfg.ckpt_every == 0:
             from .state import save_checkpoint
 
-            save_checkpoint(os.path.join(cfg.outdir, "ckpt"), state, t + 1)
+            save_checkpoint(ckpt_dir, state, t + 1)
 
     if log_rows:
         with open(log_file, "a", encoding="utf-8") as f:

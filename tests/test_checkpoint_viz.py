@@ -1,0 +1,84 @@
+"""Checkpoint/resume, profiling utilities, and viz-CLI tests."""
+import numpy as np
+import pytest
+
+from kmsr_tpu.data import synthetic_pool
+from kmsr_tpu.models import DiscriminatorConfig, GeneratorConfig
+from kmsr_tpu.train import SingleKernelConfig, train_single_kernel
+
+
+def test_checkpoint_resume(tmp_path):
+    pool = synthetic_pool(np.random.default_rng(0), n=4, size=32, blur_sigma=None)
+
+    def cfg(iters):
+        return SingleKernelConfig(
+            iters=iters,
+            batch_size=2,
+            hr_patch_size=32,
+            lr_crop_size=4,
+            log_every=2,
+            kernel_log_every=100,
+            ckpt_every=2,
+            resume=True,
+            outdir=str(tmp_path),
+            verbose=False,
+            generator=GeneratorConfig(mid_ch=4),
+            discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+        )
+
+    out1 = train_single_kernel(pool, cfg(2), progress=False)
+    assert (tmp_path / "ckpt" / "step_2").exists()
+    # resume: continue to 4 iters; step counter must carry over
+    out2 = train_single_kernel(pool, cfg(4), progress=False)
+    assert int(out2["state"].step) == 4
+    # log file keeps rows from both runs (header written only once)
+    lines = (tmp_path / "training_log.txt").read_text().splitlines()
+    assert lines.count("Iteration,Loss_D,Loss_G_adv,Loss_Reg,Loss_Reg_weighted") == 1
+    assert [l.split(",")[0] for l in lines[1:]] == ["1", "2", "3", "4"]
+
+
+def test_stage_timer():
+    from kmsr_tpu.utils.profiling import stage_timer, timing_report
+
+    with stage_timer("unit_test_stage"):
+        sum(range(1000))
+    rep = timing_report(reset=True)
+    assert rep["unit_test_stage"]["calls"] == 1
+    assert rep["unit_test_stage"]["total_s"] >= 0
+
+
+def test_viz_cli_kernels_and_moe(tmp_path, rng, capsys):
+    from kmsr_tpu.analysis.viz_cli import main
+
+    kdir = tmp_path / "kernels"
+    kdir.mkdir()
+    np.save(kdir / "kernel_per_band.npy", rng.uniform(0, 1, (5, 13, 13)))
+    np.save(kdir / "kernel_merged.npy", rng.uniform(0, 1, (13, 13)))
+    rc = main(["kernels", "--input-dir", str(kdir), "--output-dir", str(tmp_path / "kp")])
+    assert rc == 0
+    assert len(list((tmp_path / "kp").glob("*.png"))) == 2
+
+    moe = tmp_path / "moe"
+    moe.mkdir()
+    for i in range(3):
+        np.save(moe / f"kernel_{i}.npy", rng.uniform(0, 1, (5, 13, 13)))
+        np.save(moe / f"sigma_{i}.npy", rng.uniform(0.1, 1, (5,)))
+    rc = main(["moe", "--moe-dir", str(moe), "--output-dir", str(tmp_path / "mo")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "3 kernels" in out and "mean sigma per band" in out
+
+
+def test_viz_cli_patch_and_nir(tmp_path, rng, capsys):
+    from kmsr_tpu.analysis.viz_cli import main
+    from kmsr_tpu.io import GROUP_GEO, write_band_stack
+
+    f = tmp_path / "p.nc"
+    stack = rng.uniform(0.5, 5, (5, 32, 32)).astype(np.float32)
+    stack[4, :10] = 50.0  # bright NIR -> masked
+    write_band_stack(f, GROUP_GEO, stack, mode="w")
+    rc = main(["patch", str(f), "--output", str(tmp_path / "p.png")])
+    assert rc == 0 and (tmp_path / "p.png").exists()
+    rc = main(["nir", str(f), "--output", str(tmp_path / "n.png")])
+    assert rc == 0 and (tmp_path / "n.png").exists()
+    assert "water" in capsys.readouterr().out
