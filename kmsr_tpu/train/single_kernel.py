@@ -64,6 +64,10 @@ class SingleKernelConfig:
     kernel_log_every: int = 100
     save_intermediate: bool = True
     differentiable_reg: bool = False  # reference quirk: reg has no G-gradient
+    real_is_lr: bool = False  # crop_src is already real LR at lr_crop_size
+    #   (reference crops 32^2 windows from 256^2 LR-sensor patches —
+    #   `single_kernel/train.py:261-268`; set True to feed native-scale
+    #   LR batches directly)
     reg_weights: dict = dataclasses.field(
         default_factory=lambda: dict(alpha=0.5, beta=0.5, gamma=5.0, delta=1.0, epsilon=3.0)
     )
@@ -102,7 +106,10 @@ def make_train_step(cfg: SingleKernelConfig) -> Callable:
 
     def step(state: GANTrainState, hr: jax.Array, crop_src: jax.Array):
         rng, k_crop = jax.random.split(state.rng)
-        real = random_crops(k_crop, crop_src, cfg.lr_crop_size)
+        if cfg.real_is_lr:
+            real = crop_src
+        else:
+            real = random_crops(k_crop, crop_src, cfg.lr_crop_size)
         fake = generator_forward(state.g_params, hr, factor=factor)
 
         # ---- D step -------------------------------------------------------

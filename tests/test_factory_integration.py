@@ -1,0 +1,95 @@
+"""Fused factory stage + a KernelGAN learning integration test."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmsr_tpu.data import PatchPool
+from kmsr_tpu.io import GROUP_DENOISED, GROUP_HR, GROUP_LR, read_band_stack, write_band_stack
+from kmsr_tpu.models import GeneratorConfig, DiscriminatorConfig, extract_kernels, gaussian_kernel
+from kmsr_tpu.ops import degrade
+
+
+def test_factory_stage_matches_two_stage_route(tmp_path, rng):
+    """factory == apply_kernel + make_train_data with the same seed/pool."""
+    from kmsr_tpu.pipeline.factory import main as factory_main
+
+    patches = tmp_path / "den"
+    patches.mkdir()
+    for i in range(3):
+        stack = rng.normal(3, 1, (5, 64, 64)).astype(np.float32)
+        write_band_stack(patches / f"p{i}.nc", GROUP_DENOISED, stack, mode="w")
+    kernel = rng.uniform(0, 1, (5, 13, 13)).astype(np.float32)
+    np.save(tmp_path / "k.npy", kernel)
+    pool = rng.normal(0, 0.1, (7, 5, 8, 8)).astype(np.float32)
+    np.save(tmp_path / "pool.npy", pool)
+
+    rc = factory_main(
+        [
+            "--input-dir", str(patches),
+            "--kernel", str(tmp_path / "k.npy"),
+            "--noise-pool", str(tmp_path / "pool.npy"),
+            "--output-dir", str(tmp_path / "train"),
+            "--seed", "7",
+        ]
+    )
+    assert rc == 0
+    outs = sorted((tmp_path / "train").glob("*_train.nc"))
+    assert len(outs) == 3
+    hr = read_band_stack(outs[0], GROUP_HR)
+    lr = read_band_stack(outs[0], GROUP_LR)
+    assert hr.shape == (5, 64, 64) and lr.shape == (5, 8, 8)
+    # lr = degrade(hr) + some pool entry
+    blurred = np.asarray(degrade(jnp.asarray(hr), jnp.asarray(kernel)))
+    residual = lr - blurred
+    dists = np.abs(pool - residual[None]).reshape(7, -1).max(axis=1)
+    assert dists.min() < 1e-4
+
+
+def test_kernelgan_learns_blur_width():
+    """Real learning check (accelerator-only): "real LR" patches come from
+    a KNOWN wide Gaussian degradation (sigma=4) of held-out HR; after a
+    400-iteration unpaired run the GAN-estimated kernel must move from its
+    sigma=2 init toward the true kernel — L2 error shrinks materially and
+    the kernel's second moment grows toward the true width.
+
+    Runs `tests/helpers/learning_probe.py` in a subprocess WITHOUT the
+    suite's CPU pin: the 1-core CI host is ~1000x slower than a chip, so a
+    real GAN run is only practical on device. Skipped on CPU-only hosts.
+
+    (Blur WIDTH is the statistic identifiable at this scale; orientation
+    is not — the reference's discriminator batch-norms per-channel
+    magnitudes away, and we reproduce that architecture. Probe trajectory
+    on v5e: err 0.114 -> 0.085, variance 2.7 -> 3.8 over 400 iters.)"""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_PLATFORM_NAME", None)
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", ""
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    probe = subprocess.run(
+        [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=300,
+    )
+    backend = probe.stdout.strip().splitlines()[-1] if probe.stdout.strip() else ""
+    if backend in ("", "cpu"):
+        pytest.skip(f"learning probe needs an accelerator (backend={backend!r})")
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tests", "helpers", "learning_probe.py")],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = json.loads(r.stdout.strip().splitlines()[-1])
+    assert data["finite"]
+    np.testing.assert_allclose(data["kernel_sums"], 1.0, rtol=1e-3)
+    # the estimate must improve materially on the sigma=2 init...
+    assert data["err_final"] < 0.9 * data["err_init"], data
+    # ...by widening toward the true kernel's second moment
+    assert data["var_final"] > data["var_init"] + 0.6, data

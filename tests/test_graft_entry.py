@@ -1,0 +1,29 @@
+"""Driver entry points must stay green: jit compile + multichip dryrun."""
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __graft_entry__ as ge  # noqa: E402
+
+
+def test_entry_compiles():
+    fn, args = ge.entry()
+    fake, score = jax.jit(fn)(*args)
+    assert fake.shape == (8, 5, 32, 32)
+    assert score.shape == (8, 1, 32, 32)
+    assert np.isfinite(np.asarray(score)).all()
+
+
+def test_dryrun_multichip_8():
+    ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_4():
+    ge.dryrun_multichip(4)
+
+
+def test_dryrun_multichip_odd():
+    ge.dryrun_multichip(3)  # falls back to pure-DP mesh
