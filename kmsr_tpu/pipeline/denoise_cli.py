@@ -34,10 +34,25 @@ def process_nc_file(
     use_device: bool = True,
 ) -> str:
     """Denoise all bands of one file; returns the output path."""
-    os.makedirs(output_dir, exist_ok=True)
     stack = read_band_stack(file_path, GROUP_GEO)
     denoised, sigmas = denoise_stack(stack, h_factor=h_factor, use_device=use_device)
+    return _write_denoised(
+        file_path, output_dir, stack, denoised, sigmas, h_factor,
+        plot=plot, verbose=verbose,
+    )
 
+
+def _write_denoised(
+    file_path: str,
+    output_dir: str,
+    stack: np.ndarray,
+    denoised: np.ndarray,
+    sigmas,
+    h_factor: float,
+    plot: bool = False,
+    verbose: bool = True,
+) -> str:
+    os.makedirs(output_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(file_path))[0]
     out_path = os.path.join(output_dir, f"{stem}_denoised.nc")
     copy_file_with_groups(file_path, out_path)
@@ -81,9 +96,72 @@ def batch_denoise(
     pattern: str = "*.nc",
     h_factor: float = 1.8,
     use_device: bool = True,
+    device_batch: int = 8,
     progress: bool = True,
 ):
+    """Folder driver. On the device path, `device_batch` files are swept in
+    ONE batched NLM launch (all files x bands share the shift lattice);
+    files whose shape differs from the chunk majority fall back to the
+    per-file path, and per-file failure isolation is kept throughout."""
     files = list_patch_files(input_dir, pattern)
+
+    if use_device and device_batch > 1:
+        from ..ops.nlm import denoise_batch
+        from .common import RunReport
+        import time
+
+        t0 = time.time()
+        ok, fail = [], []
+        iterator = range(0, len(files), device_batch)
+        if progress:
+            try:
+                from tqdm import tqdm
+
+                iterator = tqdm(iterator, desc="denoising", unit="chunk")
+            except ImportError:
+                pass
+        for start in iterator:
+            chunk = files[start : start + device_batch]
+            stacks, valid_paths = [], []
+            for path in chunk:
+                try:
+                    stacks.append(read_band_stack(path, GROUP_GEO))
+                    valid_paths.append(path)
+                except Exception as e:
+                    fail.append((path, str(e)))
+            if not stacks:
+                continue
+            shape0 = stacks[0].shape
+            uniform = [
+                (p, s) for p, s in zip(valid_paths, stacks) if s.shape == shape0
+            ]
+            odd = [(p, s) for p, s in zip(valid_paths, stacks) if s.shape != shape0]
+            try:
+                batch = np.stack([s for _, s in uniform])
+                den, sig = denoise_batch(batch, h_factor=h_factor)
+                for (path, stack), d, s in zip(uniform, den, sig):
+                    try:
+                        ok.append(
+                            _write_denoised(
+                                path, output_dir, stack, d, list(map(float, s)),
+                                h_factor, verbose=False,
+                            )
+                        )
+                    except Exception as e:
+                        fail.append((path, str(e)))
+            except Exception:
+                odd = uniform + odd  # batched sweep failed: per-file fallback
+            for path, _stack in odd:
+                try:
+                    ok.append(
+                        process_nc_file(path, output_dir, h_factor=h_factor,
+                                        verbose=False)
+                    )
+                except Exception as e:
+                    fail.append((path, str(e)))
+        report = RunReport(succeeded=ok, failed=fail, seconds=time.time() - t0)
+        print(f"denoise: {report.summary()} -> {output_dir}")
+        return report
 
     def one(path):
         process_nc_file(
@@ -126,6 +204,8 @@ def main(argv=None) -> int:
     p.add_argument("--band", default=BAND_NAMES[0])
     p.add_argument("--cpu-reference", action="store_true",
                    help="use the numpy reference NLM instead of the device path")
+    p.add_argument("--device-batch", type=int, default=8,
+                   help="files per batched device sweep in --batch mode")
     a = p.parse_args(argv)
     use_device = not a.cpu_reference
     if a.compare:
@@ -134,7 +214,7 @@ def main(argv=None) -> int:
     if a.batch:
         report = batch_denoise(
             a.batch, a.output, pattern=a.pattern, h_factor=a.h_factor,
-            use_device=use_device,
+            use_device=use_device, device_batch=a.device_batch,
         )
         return 0 if report.n_fail == 0 else 1
     if not a.file:

@@ -111,11 +111,16 @@ def main(argv=None) -> int:
     p.add_argument("--factor", type=int, default=8)
     p.add_argument("--width", type=int, default=64)
     p.add_argument("--n-blocks", type=int, default=8)
+    p.add_argument(
+        "--upsampler", choices=["progressive", "oneshot"], default="progressive"
+    )
     p.add_argument("--in-group", default=GROUP_LR)
     p.add_argument("--ref-group", default=GROUP_HR)
-    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--batch-size", type=int, default=128)
     a = p.parse_args(argv)
-    cfg = SRConfig(width=a.width, n_blocks=a.n_blocks, factor=a.factor)
+    cfg = SRConfig(
+        width=a.width, n_blocks=a.n_blocks, factor=a.factor, upsampler=a.upsampler
+    )
     report = sr_infer_folder(
         a.input_dir, a.model, a.output_dir, cfg,
         in_group=a.in_group, ref_group=a.ref_group, batch_size=a.batch_size,

@@ -36,6 +36,10 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=64)
     p.add_argument("--n-blocks", type=int, default=8)
     p.add_argument("--factor", type=int, default=8)
+    p.add_argument(
+        "--upsampler", choices=["progressive", "oneshot"], default="progressive",
+        help="progressive: x2 shuffle stages (quality); oneshot: single LR-space shuffle (speed)",
+    )
     p.add_argument("--f32", action="store_true", help="train in f32 instead of bf16")
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -46,7 +50,9 @@ def main(argv=None) -> int:
         iters=a.iters,
         batch_size=a.batch_size,
         lr_rate=a.lr,
-        model=SRConfig(width=a.width, n_blocks=a.n_blocks, factor=a.factor),
+        model=SRConfig(
+            width=a.width, n_blocks=a.n_blocks, factor=a.factor, upsampler=a.upsampler
+        ),
         compute_dtype="float32" if a.f32 else "bfloat16",
         outdir=a.outdir,
         seed=a.seed,

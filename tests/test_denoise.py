@@ -77,6 +77,22 @@ def test_denoise_stack_shapes(rng):
     assert len(sigmas) == 5
 
 
+def test_denoise_batch_matches_per_stack(rng):
+    """The multi-file device sweep must agree with per-stack denoising."""
+    from kmsr_tpu.ops.nlm import denoise_batch
+
+    stacks = rng.normal(3.0, 0.2, size=(3, 2, 24, 24)).astype(np.float32)
+    stacks[1, 0, :4, :4] = np.nan
+    den_b, sig_b = denoise_batch(stacks, h_factor=1.5)
+    assert den_b.shape == stacks.shape and sig_b.shape == (3, 2)
+    for i in range(3):
+        den_s, sig_s = denoise_stack(stacks[i], h_factor=1.5)
+        np.testing.assert_allclose(den_b[i], den_s, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(sig_b[i], sig_s, rtol=1e-5)
+    # NaN holes restored
+    assert np.isnan(den_b[1, 0, :4, :4]).all()
+
+
 def test_denoise_pipeline_stage(tmp_path, rng):
     from kmsr_tpu.io import GROUP_DENOISED, GROUP_GEO, NCFile, read_band_stack, write_band_stack
     from kmsr_tpu.pipeline.denoise_cli import main as denoise_main

@@ -36,6 +36,39 @@ def test_sr_forward_shapes(rng):
     assert count_params(params) > 0
 
 
+def test_sr_oneshot_upsampler_shapes(rng):
+    cfg = SRConfig(width=16, n_blocks=2, factor=8, upsampler="oneshot")
+    params = init_sr(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 5, 8, 8)).astype(np.float32))
+    y = sr_forward(params, x, cfg)
+    assert y.shape == (2, 5, 64, 64)
+    assert np.isfinite(np.asarray(y)).all()
+    # oneshot tail lives entirely at LR: strictly fewer HR-space params
+    assert "ups" in params and len(params["ups"]) == 0
+
+
+def test_bilinear_matmul_matches_image_resize(rng):
+    """The MXU matmul skip must equal jax.image.resize bilinear."""
+    from kmsr_tpu.models.sr import bilinear_upsample
+
+    x = jnp.asarray(rng.normal(3, 1, (2, 5, 8, 8)).astype(np.float32))
+    got = np.asarray(bilinear_upsample(x, 4))
+    want = np.asarray(
+        jax.image.resize(x, (2, 5, 32, 32), method="bilinear")
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sr_progressive_requires_pow2_factor():
+    with pytest.raises(ValueError):
+        init_sr(jax.random.PRNGKey(0), SRConfig(factor=6))
+    # oneshot accepts arbitrary integer factors
+    cfg = SRConfig(width=8, n_blocks=1, factor=6, upsampler="oneshot")
+    params = init_sr(jax.random.PRNGKey(0), cfg)
+    y = sr_forward(params, jnp.ones((1, 5, 8, 8)), cfg)
+    assert y.shape == (1, 5, 48, 48)
+
+
 def test_sr_bf16_close_to_f32(rng):
     params = init_sr(jax.random.PRNGKey(0), CFG)
     x = jnp.asarray(rng.normal(2.0, 1.0, size=(1, 5, 8, 8)).astype(np.float32))
