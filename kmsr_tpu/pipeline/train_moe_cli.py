@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     p.add_argument("--temp-start", type=float, default=5.0)
     p.add_argument("--temp-end", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--init-from", default=None,
+        help="warm-start selector+banks from a checkpoint: the reference's "
+             "torch moe_model.pth or this framework's moe_model.npz",
+    )
     a = p.parse_args(argv)
     if a.format == "npy":
         pool = PatchPool.from_npy_dir(a.patch_dir)
@@ -50,7 +55,7 @@ def main(argv=None) -> int:
         outdir=a.outdir,
         seed=a.seed,
     )
-    out = train_moe(pool, cfg)
+    out = train_moe(pool, cfg, init_from=a.init_from)
     print(f"saved {len(out['artifacts'])} MoE artifacts -> {a.outdir}")
     return 0
 

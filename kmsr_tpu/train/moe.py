@@ -129,10 +129,24 @@ def make_moe_train_step(cfg: MoETrainConfig) -> Callable:
     return jax.jit(step, donate_argnums=(0,)), (g_tx, d_tx)
 
 
-def init_moe_training(cfg: MoETrainConfig) -> GANTrainState:
+def init_moe_training(
+    cfg: MoETrainConfig, init_from: str | None = None
+) -> GANTrainState:
+    """`init_from` warm-starts the selector + banks from a checkpoint:
+    the reference's torch `moe_model.pth` or this framework's
+    `moe_model.npz` (as written by `save_moe_artifacts`)."""
     key = jax.random.PRNGKey(cfg.seed)
     k_m, k_d, k_s = jax.random.split(key, 3)
     moe_params, moe_state = init_moe(k_m, cfg.model)
+    if init_from:
+        if init_from.endswith(".pth"):
+            from ..utils.torch_import import load_moe_torch_checkpoint
+
+            moe_params, moe_state = load_moe_torch_checkpoint(init_from, cfg.model)
+        else:
+            from ..utils.params_io import load_params
+
+            moe_params = load_params(init_from, moe_params)
     d_params, disc_state = init_discriminator(k_d, cfg.discriminator)
     g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=None)
     d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=None)
@@ -154,12 +168,11 @@ def save_moe_artifacts(params: dict, out_dir: str) -> list[str]:
         np.save(kp, kernels[i])
         np.save(sp, sigmas[i])
         paths += [kp, sp]
-    flat, _ = jax.tree_util.tree_flatten_with_path(params)
-    np.savez(
-        os.path.join(out_dir, "moe_model.npz"),
-        **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat},
-    )
-    paths.append(os.path.join(out_dir, "moe_model.npz"))
+    from ..utils.params_io import save_params
+
+    model_path = os.path.join(out_dir, "moe_model.npz")
+    save_params(model_path, params)  # reloadable via train --init-from
+    paths.append(model_path)
     return paths
 
 
@@ -167,10 +180,11 @@ def train_moe(
     pool: PatchPool,
     cfg: MoETrainConfig = MoETrainConfig(),
     progress: bool = True,
+    init_from: str | None = None,
 ) -> dict:
     os.makedirs(cfg.outdir, exist_ok=True)
     step_fn, _ = make_moe_train_step(cfg)
-    state = init_moe_training(cfg)
+    state = init_moe_training(cfg, init_from=init_from)
     temps = np.linspace(cfg.temp_start, cfg.temp_end, cfg.iters).astype(np.float32)
     host_rng = np.random.default_rng(cfg.seed)
 

@@ -193,3 +193,35 @@ def test_inspect_nc(tmp_path, rng, capsys):
     assert inspect_main([str(path), "--list-only"]) == 0
     out = capsys.readouterr().out
     assert "latitude" in out
+
+
+def test_data_stats_cli(tmp_path, rng, capsys):
+    """Per-band stats parity gate (`data_mean_std.py:5-62` counterpart):
+    mean/std over a patch dir drive the dynamic model's sigma targets."""
+    import json
+
+    npy_dir = tmp_path / "npy"
+    npy_dir.mkdir()
+    stacks = rng.normal(3.0, 0.7, size=(4, 5, 16, 16)).astype(np.float32)
+    stacks[0, 0, :2, :2] = np.nan
+    for i, s in enumerate(stacks):
+        np.save(npy_dir / f"p{i}.npy", s)
+
+    from kmsr_tpu.io.schema import BAND_NAMES
+    from kmsr_tpu.pipeline.data_stats import main as stats_main
+
+    assert stats_main(["--input-dir", str(npy_dir)]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert set(stats) == set(BAND_NAMES)
+    for i, b in enumerate(BAND_NAMES):
+        np.testing.assert_allclose(stats[b]["mean"], np.nanmean(stacks[:, i]), rtol=1e-5)
+        np.testing.assert_allclose(stats[b]["std"], np.nanstd(stacks[:, i]), rtol=1e-5)
+
+    nc_dir = tmp_path / "nc"
+    nc_dir.mkdir()
+    for i, s in enumerate(stacks):
+        write_band_stack(nc_dir / f"p{i}.nc", GROUP_GEO, s, mode="w")
+    assert stats_main(["--input-dir", str(nc_dir), "--format", "nc"]) == 0
+    stats_nc = json.loads(capsys.readouterr().out)
+    for b in BAND_NAMES:
+        np.testing.assert_allclose(stats_nc[b]["mean"], stats[b]["mean"], rtol=1e-4)
