@@ -38,9 +38,14 @@ def degrade_with_noise(
     batch: jax.Array, kernel: jax.Array, noise: jax.Array, factor: int, backend: str
 ) -> jax.Array:
     if backend == "pallas":
+        import jax as _jax
+
         from ..ops.degrade_pallas import degrade_pallas
 
-        return degrade_pallas(batch, kernel, noise=noise, factor=factor)
+        # Mosaic kernels need a TPU; interpret elsewhere so the CLI contract
+        # holds on CPU hosts (slow but correct).
+        interp = _jax.default_backend() != "tpu"
+        return degrade_pallas(batch, kernel, noise=noise, factor=factor, interpret=interp)
     from ..ops.degrade import degrade_strided
 
     return degrade_strided(batch, kernel, factor=factor) + noise

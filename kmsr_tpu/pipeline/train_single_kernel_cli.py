@@ -14,6 +14,7 @@ import argparse
 
 from ..data.sampler import PatchPool
 from ..io.schema import GROUP_DENOISED
+from ..models.generator import GeneratorConfig
 from ..train.single_kernel import SingleKernelConfig, train_single_kernel
 
 
@@ -34,6 +35,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in OUTDIR/ckpt")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--fast-forward", action="store_true",
+        help="run G as ONE depthwise conv with the composed kernel "
+             "(~230x fewer FLOPs; identical away from a 6px border rim)",
+    )
+    p.add_argument(
+        "--steps-per-call", type=int, default=1,
+        help="K>1 fuses K train steps into one on-device lax.scan dispatch "
+             "(device-resident pool + device PRNG index sampling); iters and "
+             "the *_every intervals must be multiples of K",
+    )
     p.add_argument("--differentiable-reg", action="store_true",
                    help="corrected gradient path through kernel extraction "
                         "(the reference's regularizer has no G-gradient)")
@@ -59,6 +71,10 @@ def main(argv=None) -> int:
         outdir=a.outdir,
         seed=a.seed,
         differentiable_reg=a.differentiable_reg,
+        steps_per_call=a.steps_per_call,
+        generator=GeneratorConfig(
+            forward_mode="compose" if a.fast_forward else "chain"
+        ),
     )
     mesh = None
     if a.data_parallel:

@@ -51,6 +51,23 @@ from .state import GANTrainState, init_gan_state, make_gan_optimizers
 LOG_HEADER = "Iteration,Loss_D,Loss_G_adv,Loss_Reg,Loss_Reg_weighted\n"
 
 
+def _format_rows(rows: list) -> list[str]:
+    """[(first_iter, device-metrics)] -> CSV lines; metrics may be per-step
+    scalars or K-stacked scan outputs (single host sync per flush)."""
+    out = []
+    for i0, m in rows:
+        cols = [
+            np.atleast_1d(np.asarray(m[k]))
+            for k in ("loss_D", "loss_G_adv", "loss_reg", "loss_reg_weighted")
+        ]
+        for j in range(cols[0].shape[0]):
+            out.append(
+                f"{i0 + j},{cols[0][j]:.6f},{cols[1][j]:.6f},"
+                f"{cols[2][j]:.6f},{cols[3][j]:.6f}\n"
+            )
+    return out
+
+
 @dataclasses.dataclass
 class SingleKernelConfig:
     iters: int = 10_000
@@ -78,6 +95,14 @@ class SingleKernelConfig:
     outdir: str = "output/kernelgan_single"
     ckpt_every: int = 0  # 0 = no orbax checkpoints
     resume: bool = False  # resume from the latest checkpoint in outdir/ckpt
+    device_pool: Optional[bool] = None  # keep the whole patch pool in HBM and
+    #   gather batches on device (no per-iter host->device batch upload).
+    #   None = auto: on for in-memory pools <= 4 GB on a single device.
+    steps_per_call: int = 1  # >1: run K steps per dispatch as one on-device
+    #   lax.scan (index sampling moves to the device PRNG) — removes the
+    #   per-step host round-trip entirely. Requires device_pool; iters,
+    #   log_every, kernel_log_every and ckpt_every must be multiples of K.
+    #   K=1 keeps the reference's host-RNG sampling stream exactly.
     seed: int = 0
     verbose: bool = True
 
@@ -95,14 +120,18 @@ def random_crops(key: jax.Array, src: jax.Array, crop: int) -> jax.Array:
     return jax.vmap(crop_one)(src, ys, xs)
 
 
-def make_train_step(cfg: SingleKernelConfig) -> Callable:
+def make_train_step(cfg: SingleKernelConfig, device_pool: bool = False) -> Callable:
     """Build the jitted combined D+G train step.
 
-    step(state, hr_batch, crop_src_batch) -> (new_state, metrics)
+    step(state, hr_batch, crop_src_batch) -> (new_state, metrics), or with
+    `device_pool=True`: step(state, pool_dev, hr_idx, crop_idx) — the batch
+    gather happens on device from an HBM-resident pool, so each iteration
+    uploads two int32 index vectors instead of ~2x batch x 5 x 256^2 floats.
     """
     g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
     d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
     factor = cfg.generator.factor
+    fwd_mode = cfg.generator.forward_mode
 
     def step(state: GANTrainState, hr: jax.Array, crop_src: jax.Array):
         rng, k_crop = jax.random.split(state.rng)
@@ -110,7 +139,7 @@ def make_train_step(cfg: SingleKernelConfig) -> Callable:
             real = crop_src
         else:
             real = random_crops(k_crop, crop_src, cfg.lr_crop_size)
-        fake = generator_forward(state.g_params, hr, factor=factor)
+        fake = generator_forward(state.g_params, hr, factor=factor, forward_mode=fwd_mode)
 
         # ---- D step -------------------------------------------------------
         def d_loss_fn(d_params, d_state):
@@ -129,7 +158,7 @@ def make_train_step(cfg: SingleKernelConfig) -> Callable:
 
         # ---- G step (against the freshly updated D, reference order) -------
         def g_loss_fn(g_params, d_state_in):
-            fake_g = generator_forward(g_params, hr, factor=factor)
+            fake_g = generator_forward(g_params, hr, factor=factor, forward_mode=fwd_mode)
             pred_fake, st = discriminator_forward(d_params, d_state_in, fake_g, train=True)
             adv = lsgan_g_loss(pred_fake)
             ks = extract_kernels(g_params, differentiable=cfg.differentiable_reg)
@@ -163,6 +192,37 @@ def make_train_step(cfg: SingleKernelConfig) -> Callable:
         }
         return new_state, metrics
 
+    if device_pool and cfg.steps_per_call > 1:
+
+        def chunk_step(state, pool_dev):
+            n_pool = pool_dev.shape[0]
+
+            def body(st, _):
+                rng, k_hr, k_cr = jax.random.split(st.rng, 3)
+                hr_idx = jax.random.randint(k_hr, (cfg.batch_size,), 0, n_pool)
+                cr_idx = jax.random.randint(k_cr, (cfg.batch_size,), 0, n_pool)
+                st = dataclasses.replace(st, rng=rng)
+                return step(
+                    st,
+                    jnp.take(pool_dev, hr_idx, axis=0),
+                    jnp.take(pool_dev, cr_idx, axis=0),
+                )
+
+            return jax.lax.scan(body, state, None, length=cfg.steps_per_call)
+
+        return jax.jit(chunk_step, donate_argnums=(0,)), (g_tx, d_tx)
+
+    if device_pool:
+
+        def pool_step(state, pool_dev, hr_idx, crop_idx):
+            return step(
+                state,
+                jnp.take(pool_dev, hr_idx, axis=0),
+                jnp.take(pool_dev, crop_idx, axis=0),
+            )
+
+        return jax.jit(pool_step, donate_argnums=(0,)), (g_tx, d_tx)
+
     return jax.jit(step, donate_argnums=(0,)), (g_tx, d_tx)
 
 
@@ -190,7 +250,18 @@ def train_single_kernel(
     os.makedirs(cfg.outdir, exist_ok=True)
     log_file = os.path.join(cfg.outdir, "training_log.txt")
 
-    step_fn, _ = make_train_step(cfg)
+    # device-resident pool: auto on for single-device in-memory pools <= 4 GB
+    use_device_pool = cfg.device_pool
+    if use_device_pool is None:
+        use_device_pool = (
+            mesh is None
+            and hasattr(pool, "patches")
+            and pool.patches.nbytes <= 4 << 30
+        )
+    if use_device_pool and not hasattr(pool, "patches"):
+        raise ValueError("device_pool needs an in-memory PatchPool")
+
+    step_fn, _ = make_train_step(cfg, device_pool=use_device_pool)
     state = init_training(cfg)
 
     # checkpoint resume (the reference has no resume path at all —
@@ -220,31 +291,61 @@ def train_single_kernel(
 
     host_rng = np.random.default_rng(cfg.seed + start_iter)
     prev_k = None
-    log_rows: list[str] = []
-    iterator = range(start_iter, cfg.iters)
+    log_rows: list = []
+    pool_dev = jnp.asarray(pool.patches) if use_device_pool else None
+    n_pool = len(pool)
+    K = cfg.steps_per_call
+    if K > 1:
+        if not use_device_pool:
+            raise ValueError("steps_per_call > 1 requires device_pool")
+        for name, v in (
+            ("iters", cfg.iters), ("log_every", cfg.log_every),
+            ("kernel_log_every", cfg.kernel_log_every),
+            ("ckpt_every", cfg.ckpt_every), ("start_iter", start_iter),
+        ):
+            if v % K:
+                raise ValueError(f"{name}={v} must be a multiple of steps_per_call={K}")
+        # t iterates over the LAST iteration index of each K-step chunk
+        iterator = range(start_iter + K - 1, cfg.iters, K)
+    else:
+        iterator = range(start_iter, cfg.iters)
     if progress:
         try:
             from tqdm import tqdm
 
-            iterator = tqdm(iterator, desc="Training", unit="iter")
+            iterator = tqdm(iterator, desc="Training", unit="chunk" if K > 1 else "iter")
         except ImportError:
             pass
 
     for t in iterator:
-        hr = put_batch(pool.sample(host_rng, cfg.batch_size))
-        crop_src = put_batch(pool.sample(host_rng, cfg.batch_size))
-        state, metrics = step_fn(state, hr, crop_src)
+        if K > 1:
+            # K steps in one dispatch: on-device PRNG index sampling,
+            # stacked metrics; t is the LAST iteration of the chunk
+            state, ms = step_fn(state, pool_dev)
+            log_rows.append((t + 2 - K, ms))
+            metrics = jax.tree_util.tree_map(lambda a: a[-1], ms)
+        elif use_device_pool:
+            # identical host-RNG stream to pool.sample's index draws
+            hr_idx = host_rng.integers(0, n_pool, size=cfg.batch_size)
+            crop_idx = host_rng.integers(0, n_pool, size=cfg.batch_size)
+            state, metrics = step_fn(
+                state, pool_dev, jnp.asarray(hr_idx), jnp.asarray(crop_idx)
+            )
+        else:
+            hr = put_batch(pool.sample(host_rng, cfg.batch_size))
+            crop_src = put_batch(pool.sample(host_rng, cfg.batch_size))
+            state, metrics = step_fn(state, hr, crop_src)
 
-        # CSV row (buffered; flushed every log_every — the reference reopens
-        # the file per iteration, which we deliberately do not reproduce)
-        log_rows.append(
-            f"{t + 1},{float(metrics['loss_D']):.6f},{float(metrics['loss_G_adv']):.6f},"
-            f"{float(metrics['loss_reg']):.6f},{float(metrics['loss_reg_weighted']):.6f}\n"
-        )
+        # CSV rows are buffered as DEVICE scalars and materialized only at
+        # flush time: a float() per iteration would force a device sync per
+        # step (the reference reopens the log file per iteration, which we
+        # deliberately do not reproduce either).
+        if K == 1:
+            log_rows.append((t + 1, metrics))
 
         if (t + 1) % cfg.log_every == 0:
             with open(log_file, "a", encoding="utf-8") as f:
-                f.writelines(log_rows)
+                f.writelines(_format_rows(log_rows))
             log_rows.clear()
             if progress and hasattr(iterator, "set_postfix"):
                 iterator.set_postfix(
@@ -282,7 +383,7 @@ def train_single_kernel(
 
     if log_rows:
         with open(log_file, "a", encoding="utf-8") as f:
-            f.writelines(log_rows)
+            f.writelines(_format_rows(log_rows))
 
     ks_final = np.asarray(extract_kernels(state.g_params))
     k_merged = ks_final.mean(axis=0)

@@ -216,3 +216,28 @@ def test_noise_reg():
     assert float(noise_reg_loss(s, t)) == pytest.approx(0.0)
     assert float(noise_reg_loss(s, 0.0)) == pytest.approx((0.25 + 0.49) / 2)
     assert float(noise_reg_loss(s, 0.0, mode="l1")) == pytest.approx(0.6)
+
+
+def test_compose_forward_matches_chain_interior(rng):
+    """forward_mode="compose" (one depthwise conv with the composed kernel)
+    must equal the chain everywhere except the 6px reflect-padding rim —
+    compare on the interior of the downsampled output."""
+    from kmsr_tpu.models.generator import GeneratorConfig, generator_forward, init_generator
+
+    cfg = GeneratorConfig(mid_ch=8)
+    params = init_generator(cfg)
+    key = jax.random.PRNGKey(2)
+    params = {
+        "layers": [
+            w + 0.05 * jax.random.normal(jax.random.fold_in(key, i), w.shape)
+            for i, w in enumerate(params["layers"])
+        ]
+    }
+    x = jnp.asarray(rng.normal(3, 1, (2, 5, 64, 64)).astype(np.float32))
+    y_chain = np.asarray(generator_forward(params, x))
+    y_comp = np.asarray(generator_forward(params, x, forward_mode="compose"))
+    assert y_chain.shape == y_comp.shape == (2, 5, 8, 8)
+    # 6px HR rim -> ceil(6/8) = 1 LR pixel rim differs; interior identical
+    np.testing.assert_allclose(
+        y_chain[:, :, 1:-1, 1:-1], y_comp[:, :, 1:-1, 1:-1], rtol=2e-5, atol=2e-5
+    )

@@ -63,6 +63,20 @@ def test_train_step_updates_and_finite(small_pool):
     np.testing.assert_allclose(ks.sum(axis=(1, 2)), 1.0, rtol=1e-4)
 
 
+def test_device_pool_matches_upload_path(tmp_path, small_pool):
+    """HBM-resident pool gather must reproduce the per-iter upload path
+    bit-for-bit (same host RNG stream, same batches)."""
+    import dataclasses as dc
+
+    cfg_up = dc.replace(tiny_cfg(tmp_path / "a", iters=3), device_pool=False)
+    cfg_dev = dc.replace(tiny_cfg(tmp_path / "b", iters=3), device_pool=True)
+    out_up = train_single_kernel(small_pool, cfg_up, progress=False)
+    out_dev = train_single_kernel(small_pool, cfg_dev, progress=False)
+    np.testing.assert_allclose(
+        out_up["kernel_per_band"], out_dev["kernel_per_band"], atol=1e-6
+    )
+
+
 def test_train_loop_artifacts(tmp_path, small_pool):
     cfg = tiny_cfg(tmp_path, iters=4)
     out = train_single_kernel(small_pool, cfg, progress=False)
