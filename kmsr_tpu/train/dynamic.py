@@ -69,6 +69,8 @@ class DynamicTrainConfig:
     log_every: int = 100
     kernel_log_every: int = 100
     outdir: str = "output/dynamic_kernel"
+    device_pool: Optional[bool] = None  # HBM-resident pool with on-device
+    #   batch gathers (see train.single_kernel); auto for pools <= 4 GB
     seed: int = 0
     verbose: bool = True
 
@@ -138,6 +140,15 @@ def make_dynamic_train_step(cfg: DynamicTrainConfig) -> Callable:
     return jax.jit(step, donate_argnums=(0,)), (g_tx, d_tx)
 
 
+def _format_dyn_rows(rows: list) -> list[str]:
+    """[(iter, device-metrics)] -> CSV lines (one host sync per flush)."""
+    return [
+        f"{i},{float(m['loss_D']):.6f},{float(m['loss_G_adv']):.6f},"
+        f"{float(m['loss_reg']):.6f},{float(m['loss_noise_reg']):.6f}\n"
+        for i, m in rows
+    ]
+
+
 def init_dynamic_training(cfg: DynamicTrainConfig) -> GANTrainState:
     key = jax.random.PRNGKey(cfg.seed)
     k_g, k_d, k_s = jax.random.split(key, 3)
@@ -171,7 +182,7 @@ def train_dynamic(
         state = jax.device_put(state, replicated(mesh))
 
     host_rng = np.random.default_rng(cfg.seed)
-    rows: list[str] = []
+    rows: list = []
     iterator = range(cfg.iters)
     if progress:
         try:
@@ -188,17 +199,29 @@ def train_dynamic(
 
         put = functools.partial(shard_batch, mesh)
 
-    for t in iterator:
-        hr = put(pool.sample(host_rng, cfg.batch_size))
-        crop_src = put(pool.sample(host_rng, cfg.batch_size))
-        state, m = step_fn(state, hr, crop_src)
-        rows.append(
-            f"{t + 1},{float(m['loss_D']):.6f},{float(m['loss_G_adv']):.6f},"
-            f"{float(m['loss_reg']):.6f},{float(m['loss_noise_reg']):.6f}\n"
+    use_device_pool = cfg.device_pool
+    if use_device_pool is None:
+        use_device_pool = (
+            mesh is None
+            and hasattr(pool, "patches")
+            and pool.patches.nbytes <= 4 << 30
         )
+    pool_dev = jnp.asarray(pool.patches) if use_device_pool else None
+    n_pool = len(pool)
+    take = jax.jit(lambda p, i: jnp.take(p, i, axis=0)) if use_device_pool else None
+
+    for t in iterator:
+        if use_device_pool:
+            hr = take(pool_dev, jnp.asarray(host_rng.integers(0, n_pool, cfg.batch_size)))
+            crop_src = take(pool_dev, jnp.asarray(host_rng.integers(0, n_pool, cfg.batch_size)))
+        else:
+            hr = put(pool.sample(host_rng, cfg.batch_size))
+            crop_src = put(pool.sample(host_rng, cfg.batch_size))
+        state, m = step_fn(state, hr, crop_src)
+        rows.append((t + 1, m))
         if (t + 1) % cfg.log_every == 0:
             with open(log_file, "a", encoding="utf-8") as f:
-                f.writelines(rows)
+                f.writelines(_format_dyn_rows(rows))
             rows.clear()
         if (t + 1) % cfg.kernel_log_every == 0:
             ks = np.asarray(m["kernels"])
@@ -217,7 +240,7 @@ def train_dynamic(
                 )
     if rows:
         with open(log_file, "a", encoding="utf-8") as f:
-            f.writelines(rows)
+            f.writelines(_format_dyn_rows(rows))
 
     ks_final = np.asarray(
         extract_dynamic_kernels(jax.device_get(state.g_params)["generator"], None, cfg.model)

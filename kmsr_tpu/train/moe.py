@@ -57,6 +57,8 @@ class MoETrainConfig:
     )
     log_every: int = 100
     outdir: str = "output/moe_kernels_run"
+    device_pool: bool | None = None  # HBM-resident pool with on-device
+    #   batch gathers (see train.single_kernel); auto for pools <= 4 GB
     seed: int = 0
     verbose: bool = True
 
@@ -197,10 +199,21 @@ def train_moe(
         except ImportError:
             pass
 
+    use_device_pool = cfg.device_pool
+    if use_device_pool is None:
+        use_device_pool = hasattr(pool, "patches") and pool.patches.nbytes <= 4 << 30
+    pool_dev = jnp.asarray(pool.patches) if use_device_pool else None
+    n_pool = len(pool)
+    take = jax.jit(lambda p, i: jnp.take(p, i, axis=0)) if use_device_pool else None
+
     history = []
     for t in iterator:
-        hr = jnp.asarray(pool.sample(host_rng, cfg.batch_size))
-        crop_src = jnp.asarray(pool.sample(host_rng, cfg.batch_size))
+        if use_device_pool:
+            hr = take(pool_dev, jnp.asarray(host_rng.integers(0, n_pool, cfg.batch_size)))
+            crop_src = take(pool_dev, jnp.asarray(host_rng.integers(0, n_pool, cfg.batch_size)))
+        else:
+            hr = jnp.asarray(pool.sample(host_rng, cfg.batch_size))
+            crop_src = jnp.asarray(pool.sample(host_rng, cfg.batch_size))
         state, m = step_fn(state, hr, crop_src, jnp.float32(temps[t]))
         if (t + 1) % cfg.log_every == 0:
             sel = np.asarray(m["selection"]).astype(int)

@@ -74,5 +74,14 @@ def test_train_moe_smoke(tmp_path, pool):
         np.testing.assert_allclose(k.sum(axis=(1, 2)), 1.0, rtol=1e-4)
         assert s.shape == (5,) and (s > 0).all()
     assert (tmp_path / "moe" / "moe_model.npz").exists()
+    # checkpoint is in the reloadable params_io format: named paths include
+    # the banks, and it round-trips through --init-from
     model = np.load(tmp_path / "moe" / "moe_model.npz")
-    assert any("kernel_bank" in k for k in model.files)
+    names = [str(model[k]) for k in model.files if k.startswith("name_")]
+    assert any("kernel_bank" in n for n in names), names
+    from kmsr_tpu.train.moe import init_moe_training
+
+    st = init_moe_training(cfg, init_from=str(tmp_path / "moe" / "moe_model.npz"))
+    got = np.asarray(st.g_params["kernel_bank"])
+    want = np.asarray(out["state"].g_params["kernel_bank"])
+    np.testing.assert_array_equal(got, want)
