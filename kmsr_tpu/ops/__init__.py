@@ -11,6 +11,8 @@ from .degrade import (
 )
 from .kernel_algebra import compose_chain, compose_pair, effective_kernel, full_conv2d
 
-# The fastest fused degrade path; re-pointed at the Pallas kernel on TPU
-# once `degrade_pallas` lands (bench.py and apply_kernel use this alias).
+# The fastest fused degrade path (bench.py and apply_kernel use this
+# alias). Measured on v5e at batch 8192: the strided-conv XLA path wins
+# (~825-948k patches/s) over the Pallas batch-in-lanes kernel (~672k);
+# `degrade_pallas` remains the fused-noise option.
 degrade_fused = degrade_strided
