@@ -36,6 +36,9 @@ def main(argv=None) -> int:
     p.add_argument("--target-sigma", type=float, nargs=5, default=list(TARGET_SIGMA))
     p.add_argument("--lr-crop-size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest orbax checkpoint in outdir/ckpt")
     p.add_argument("--bulk-extract", action="store_true",
                    help="after training, extract a per-patch kernel for every file")
     a = p.parse_args(argv)
@@ -51,6 +54,8 @@ def main(argv=None) -> int:
         target_sigma=tuple(a.target_sigma),
         lr_crop_size=a.lr_crop_size,
         outdir=a.outdir,
+        ckpt_every=a.ckpt_every,
+        resume=a.resume,
         seed=a.seed,
     )
     out = train_dynamic(pool, cfg)

@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     p.add_argument("--temp-start", type=float, default=5.0)
     p.add_argument("--temp-end", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest orbax checkpoint in outdir/ckpt")
     p.add_argument(
         "--init-from", default=None,
         help="warm-start selector+banks from a checkpoint: the reference's "
@@ -53,6 +56,8 @@ def main(argv=None) -> int:
             n_kernels=a.n_kernels, kernel_size=a.kernel_size, factor=a.factor
         ),
         outdir=a.outdir,
+        ckpt_every=a.ckpt_every,
+        resume=a.resume,
         seed=a.seed,
     )
     out = train_moe(pool, cfg, init_from=a.init_from)

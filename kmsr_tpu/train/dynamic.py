@@ -71,6 +71,8 @@ class DynamicTrainConfig:
     outdir: str = "output/dynamic_kernel"
     device_pool: Optional[bool] = None  # HBM-resident pool with on-device
     #   batch gathers (see train.single_kernel); auto for pools <= 4 GB
+    ckpt_every: int = 0  # 0 = no orbax checkpoints
+    resume: bool = False  # resume from the latest checkpoint in outdir/ckpt
     seed: int = 0
     verbose: bool = True
 
@@ -171,19 +173,33 @@ def train_dynamic(
     os.makedirs(visuals, exist_ok=True)
     os.makedirs(final_dir, exist_ok=True)
     log_file = os.path.join(cfg.outdir, "training_log.txt")
-    with open(log_file, "w", encoding="utf-8") as f:
-        f.write(LOG_HEADER)
 
     step_fn, _ = make_dynamic_train_step(cfg)
     state = init_dynamic_training(cfg)
+
+    start_iter = 0
+    ckpt_dir = os.path.join(cfg.outdir, "ckpt")
+    if cfg.resume:
+        from .state import latest_checkpoint_step, restore_checkpoint
+
+        last = latest_checkpoint_step(ckpt_dir)
+        if last is not None:
+            state = restore_checkpoint(ckpt_dir, last, state)
+            start_iter = last
+            if cfg.verbose:
+                print(f"resumed from checkpoint step {last}")
+    if start_iter == 0:
+        with open(log_file, "w", encoding="utf-8") as f:
+            f.write(LOG_HEADER)
+
     if mesh is not None:
         from ..parallel.mesh import batch_sharding, replicated
 
         state = jax.device_put(state, replicated(mesh))
 
-    host_rng = np.random.default_rng(cfg.seed)
+    host_rng = np.random.default_rng(cfg.seed + start_iter)
     rows: list = []
-    iterator = range(cfg.iters)
+    iterator = range(start_iter, cfg.iters)
     if progress:
         try:
             from tqdm import tqdm
@@ -238,6 +254,10 @@ def train_dynamic(
                     f"  [iter {t + 1}] sigma={np.asarray(m['sigma']).round(3)} "
                     f"k_sum={km['k_sum']:.4f} center_off={km['center_offset']:.3f}"
                 )
+        if cfg.ckpt_every and (t + 1) % cfg.ckpt_every == 0:
+            from .state import save_checkpoint
+
+            save_checkpoint(ckpt_dir, state, t + 1)
     if rows:
         with open(log_file, "a", encoding="utf-8") as f:
             f.writelines(_format_dyn_rows(rows))

@@ -59,6 +59,8 @@ class MoETrainConfig:
     outdir: str = "output/moe_kernels_run"
     device_pool: bool | None = None  # HBM-resident pool with on-device
     #   batch gathers (see train.single_kernel); auto for pools <= 4 GB
+    ckpt_every: int = 0  # 0 = no orbax checkpoints
+    resume: bool = False  # resume from the latest checkpoint in outdir/ckpt
     seed: int = 0
     verbose: bool = True
 
@@ -187,10 +189,23 @@ def train_moe(
     os.makedirs(cfg.outdir, exist_ok=True)
     step_fn, _ = make_moe_train_step(cfg)
     state = init_moe_training(cfg, init_from=init_from)
-    temps = np.linspace(cfg.temp_start, cfg.temp_end, cfg.iters).astype(np.float32)
-    host_rng = np.random.default_rng(cfg.seed)
 
-    iterator = range(cfg.iters)
+    start_iter = 0
+    ckpt_dir = os.path.join(cfg.outdir, "ckpt")
+    if cfg.resume:
+        from .state import latest_checkpoint_step, restore_checkpoint
+
+        last = latest_checkpoint_step(ckpt_dir)
+        if last is not None:
+            state = restore_checkpoint(ckpt_dir, last, state)
+            start_iter = last
+            if cfg.verbose:
+                print(f"resumed from checkpoint step {last}")
+
+    temps = np.linspace(cfg.temp_start, cfg.temp_end, cfg.iters).astype(np.float32)
+    host_rng = np.random.default_rng(cfg.seed + start_iter)
+
+    iterator = range(start_iter, cfg.iters)
     if progress:
         try:
             from tqdm import tqdm
@@ -223,6 +238,10 @@ def train_moe(
                     f"Iter {t + 1} | Temp {temps[t]:.2f} | D {float(m['loss_D']):.3f} "
                     f"| Selection {sel}"
                 )
+        if cfg.ckpt_every and (t + 1) % cfg.ckpt_every == 0:
+            from .state import save_checkpoint
+
+            save_checkpoint(ckpt_dir, state, t + 1)
 
     artifacts = save_moe_artifacts(jax.device_get(state.g_params), cfg.outdir)
     return {"state": state, "artifacts": artifacts, "history": history}

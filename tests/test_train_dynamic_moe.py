@@ -20,6 +20,26 @@ def pool():
     return synthetic_pool(np.random.default_rng(1), n=6, size=32, blur_sigma=None)
 
 
+def test_dynamic_checkpoint_resume(tmp_path, pool):
+    """Orbax resume in the dynamic trainer (framework extension — the
+    reference's model reload is commented out, `muti_kernel/train.py:344`)."""
+    def cfg(iters):
+        return DynamicTrainConfig(
+            iters=iters, batch_size=2, hr_patch_size=32, lr_crop_size=4,
+            log_every=2, kernel_log_every=100, ckpt_every=2, resume=True,
+            outdir=str(tmp_path), verbose=False,
+            model=DynamicConfig(mid_ch=4),
+            discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+        )
+
+    train_dynamic(pool, cfg(2), progress=False)
+    assert (tmp_path / "ckpt" / "step_2").exists()
+    out = train_dynamic(pool, cfg(4), progress=False)
+    assert int(out["state"].step) == 4
+    lines = (tmp_path / "training_log.txt").read_text().splitlines()
+    assert [l.split(",")[0] for l in lines[1:]] == ["1", "2", "3", "4"]
+
+
 def test_train_dynamic_smoke(tmp_path, pool):
     cfg = DynamicTrainConfig(
         iters=3,
