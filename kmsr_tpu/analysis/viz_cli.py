@@ -9,12 +9,20 @@ Sub-commands:
               (parity: `denoise/vis_patches.py`)
   nir         NIR water-mask overview figure for a scene
               (parity: `A_00_patch_cutter_universal.py:263-316`)
+  hist        band-distribution comparison histogram — two files of the
+              same group (sensor-vs-sensor, count mode with 0.0001/99.99
+              percentile shared bins) or two groups of one file (hr-vs-lr,
+              density mode with 1/99 clip)
+              (parity: `output/single_kernel/data_generation_method_compare/
+              compare_490_hist.py:36-75`, `compare_490_hr_lr.py:31-73`)
 
 Usage:
     python -m kmsr_tpu.analysis.viz_cli kernels --input-dir K --output-dir OUT
     python -m kmsr_tpu.analysis.viz_cli moe --moe-dir moe_kernels --output-dir OUT
     python -m kmsr_tpu.analysis.viz_cli patch FILE --group denoised --output p.png
     python -m kmsr_tpu.analysis.viz_cli nir FILE --output nir.png
+    python -m kmsr_tpu.analysis.viz_cli hist A.nc --file-b B.nc --band L_TOA_490
+    python -m kmsr_tpu.analysis.viz_cli hist PAIR.nc --group hr --group-b lr --density
 """
 from __future__ import annotations
 
@@ -137,6 +145,41 @@ def cmd_nir(a) -> int:
     return 0
 
 
+def cmd_hist(a) -> int:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    file_b = a.file_b or a.file
+    group_b = a.group_b or a.group
+    va = read_band_stack(a.file, a.group, band_names=[a.band]).ravel()
+    vb = read_band_stack(file_b, group_b, band_names=[a.band]).ravel()
+    va, vb = va[np.isfinite(va)], vb[np.isfinite(vb)]
+    both = np.concatenate([va, vb])
+    lo_p, hi_p = (1.0, 99.0) if a.density else (0.0001, 99.99)
+    lo, hi = np.nanpercentile(both, [lo_p, hi_p])
+    lo = max(lo, 0.0)
+    edges = np.linspace(lo, hi, a.bins + 1)
+    label_a = a.label_a or (a.group if a.group != group_b else os.path.basename(a.file))
+    label_b = a.label_b or (group_b if a.group != group_b else os.path.basename(file_b))
+    fig, ax = plt.subplots(figsize=(6, 4.8))
+    ax.hist(va[(va >= lo) & (va <= hi)], bins=edges, alpha=0.6,
+            label=label_a, density=a.density)
+    ax.hist(vb[(vb >= lo) & (vb <= hi)], bins=edges, alpha=0.6,
+            label=label_b, density=a.density)
+    ax.set_title(f"Histogram — {a.band}")
+    ax.set_xlabel("Value")
+    ax.set_ylabel("Density" if a.density else "Count")
+    ax.set_xlim(lo, hi)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(a.output, dpi=200)
+    plt.close(fig)
+    print(f"saved {a.output} ({label_a}: {va.size} px, {label_b}: {vb.size} px)")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="KMSR visualization tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -162,10 +205,24 @@ def main(argv=None) -> int:
     pn.add_argument("--threshold-max", type=float, default=7.0)
     pn.add_argument("--output", default="nir_overview.png")
 
+    ph = sub.add_parser("hist")
+    ph.add_argument("file")
+    ph.add_argument("--file-b", default=None, help="second file (default: same file)")
+    ph.add_argument("--group", default=GROUP_GEO)
+    ph.add_argument("--group-b", default=None, help="second group (default: same group)")
+    ph.add_argument("--band", default=BAND_NAMES[1])  # L_TOA_490, as the reference
+    ph.add_argument("--bins", type=int, default=90)
+    ph.add_argument("--density", action="store_true",
+                    help="density histograms + 1/99 clip (hr-vs-lr mode)")
+    ph.add_argument("--label-a", default=None)
+    ph.add_argument("--label-b", default=None)
+    ph.add_argument("--output", default="hist_compare.png")
+
     a = p.parse_args(argv)
-    return {"kernels": cmd_kernels, "moe": cmd_moe, "patch": cmd_patch, "nir": cmd_nir}[
-        a.cmd
-    ](a)
+    return {
+        "kernels": cmd_kernels, "moe": cmd_moe, "patch": cmd_patch,
+        "nir": cmd_nir, "hist": cmd_hist,
+    }[a.cmd](a)
 
 
 if __name__ == "__main__":

@@ -82,3 +82,27 @@ def test_viz_cli_patch_and_nir(tmp_path, rng, capsys):
     rc = main(["nir", str(f), "--output", str(tmp_path / "n.png")])
     assert rc == 0 and (tmp_path / "n.png").exists()
     assert "water" in capsys.readouterr().out
+
+
+def test_viz_hist_compare(tmp_path):
+    """Distribution-comparison histograms: two-file same-group mode and
+    one-file hr-vs-lr density mode (compare_490_hist / compare_490_hr_lr)."""
+    from kmsr_tpu.analysis.viz_cli import main as viz_main
+    from kmsr_tpu.io import GROUP_GEO, GROUP_HR, GROUP_LR, write_band_stack
+
+    rng = np.random.default_rng(0)
+    a = tmp_path / "a.nc"
+    b = tmp_path / "b.nc"
+    write_band_stack(a, GROUP_GEO, rng.normal(3, 1, (5, 24, 24)).astype(np.float32), mode="w")
+    write_band_stack(b, GROUP_GEO, rng.normal(4, 1, (5, 24, 24)).astype(np.float32), mode="w")
+    out1 = tmp_path / "two_files.png"
+    assert viz_main(["hist", str(a), "--file-b", str(b), "--output", str(out1)]) == 0
+    assert out1.exists() and out1.stat().st_size > 0
+
+    pair = tmp_path / "pair.nc"
+    write_band_stack(pair, GROUP_HR, rng.normal(3, 1, (5, 24, 24)).astype(np.float32), mode="w")
+    write_band_stack(pair, GROUP_LR, rng.normal(3, 1, (5, 3, 3)).astype(np.float32), mode="a")
+    out2 = tmp_path / "hr_lr.png"
+    assert viz_main(["hist", str(pair), "--group", "hr", "--group-b", "lr",
+                     "--density", "--output", str(out2)]) == 0
+    assert out2.exists() and out2.stat().st_size > 0
