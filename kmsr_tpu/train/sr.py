@@ -29,6 +29,8 @@ class SRTrainConfig:
     log_every: int = 100
     eval_every: int = 1000
     outdir: str = "output/sr"
+    device_pool: Optional[bool] = None  # keep (lr, hr) pairs in HBM and
+    #   gather batches on device; auto for datasets <= 4 GB, single device
     seed: int = 0
 
 
@@ -113,9 +115,21 @@ def train_sr(
         from ..parallel.mesh import shard_batch
 
         put = functools.partial(shard_batch, mesh)
+    use_device_pool = cfg.device_pool
+    if use_device_pool is None:
+        use_device_pool = (
+            mesh is None and lr_all.nbytes + hr_all.nbytes <= 4 << 30
+        )
+    if use_device_pool:
+        lr_dev, hr_dev = jnp.asarray(lr_all), jnp.asarray(hr_all)
+        take = jax.jit(lambda a, b, i: (jnp.take(a, i, axis=0), jnp.take(b, i, axis=0)))
     for t in iterator:
         idx = host_rng.integers(0, lr_all.shape[0], cfg.batch_size)
-        state, m = step_fn(state, put(lr_all[idx]), put(hr_all[idx]))
+        if use_device_pool:
+            lr_b, hr_b = take(lr_dev, hr_dev, jnp.asarray(idx))
+        else:
+            lr_b, hr_b = put(lr_all[idx]), put(hr_all[idx])
+        state, m = step_fn(state, lr_b, hr_b)
         if (t + 1) % cfg.log_every == 0:
             log.append((t + 1, float(m["l1"])))
         if (t + 1) % cfg.eval_every == 0:
