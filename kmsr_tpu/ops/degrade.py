@@ -12,6 +12,11 @@ TPU-first notes:
     That form is what the fused Pallas kernel implements; the unfused path
     here is the parity/fallback reference.
   * Everything is batch-first `[B, C, H, W]`, vmapped/sharded along B.
+  * Implementations raced on v5e at batch 8192 (64^2 patches): XLA strided
+    depthwise conv ~850-950k patches/s; Pallas batch-in-lanes stencil ~670k;
+    dense stride-matrix matmul on the MXU ~520k at f32 precision (the 10x
+    FLOP inflation of densifying the stencil eats the MXU advantage).
+    The XLA conv stays the default (`degrade_fused`).
 """
 from __future__ import annotations
 
