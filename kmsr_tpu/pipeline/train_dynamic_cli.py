@@ -36,6 +36,8 @@ def main(argv=None) -> int:
     p.add_argument("--target-sigma", type=float, nargs=5, default=list(TARGET_SIGMA))
     p.add_argument("--lr-crop-size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="K>1 fuses K steps into one on-device lax.scan dispatch")
     p.add_argument("--ckpt-every", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest orbax checkpoint in outdir/ckpt")
@@ -54,6 +56,7 @@ def main(argv=None) -> int:
         target_sigma=tuple(a.target_sigma),
         lr_crop_size=a.lr_crop_size,
         outdir=a.outdir,
+        steps_per_call=a.steps_per_call,
         ckpt_every=a.ckpt_every,
         resume=a.resume,
         seed=a.seed,

@@ -71,13 +71,18 @@ class DynamicTrainConfig:
     outdir: str = "output/dynamic_kernel"
     device_pool: Optional[bool] = None  # HBM-resident pool with on-device
     #   batch gathers (see train.single_kernel); auto for pools <= 4 GB
+    steps_per_call: int = 1  # >1: K steps per dispatch as one on-device
+    #   lax.scan with device-PRNG index sampling (requires device_pool;
+    #   iters and *_every intervals must be multiples of K)
     ckpt_every: int = 0  # 0 = no orbax checkpoints
     resume: bool = False  # resume from the latest checkpoint in outdir/ckpt
     seed: int = 0
     verbose: bool = True
 
 
-def make_dynamic_train_step(cfg: DynamicTrainConfig) -> Callable:
+def make_dynamic_train_step(
+    cfg: DynamicTrainConfig, device_pool: bool = False
+) -> Callable:
     g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=None)
     d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=None)
     target = jnp.asarray(cfg.target_sigma)
@@ -139,16 +144,44 @@ def make_dynamic_train_step(cfg: DynamicTrainConfig) -> Callable:
         }
         return new_state, metrics
 
+    if device_pool and cfg.steps_per_call > 1:
+
+        def chunk_step(state, pool_dev):
+            n_pool = pool_dev.shape[0]
+
+            def body(st, _):
+                rng, k_hr, k_cr = jax.random.split(st.rng, 3)
+                hr_idx = jax.random.randint(k_hr, (cfg.batch_size,), 0, n_pool)
+                cr_idx = jax.random.randint(k_cr, (cfg.batch_size,), 0, n_pool)
+                st = dataclasses.replace(st, rng=rng)
+                return step(
+                    st,
+                    jnp.take(pool_dev, hr_idx, axis=0),
+                    jnp.take(pool_dev, cr_idx, axis=0),
+                )
+
+            return jax.lax.scan(body, state, None, length=cfg.steps_per_call)
+
+        return jax.jit(chunk_step, donate_argnums=(0,)), (g_tx, d_tx)
+
     return jax.jit(step, donate_argnums=(0,)), (g_tx, d_tx)
 
 
 def _format_dyn_rows(rows: list) -> list[str]:
-    """[(iter, device-metrics)] -> CSV lines (one host sync per flush)."""
-    return [
-        f"{i},{float(m['loss_D']):.6f},{float(m['loss_G_adv']):.6f},"
-        f"{float(m['loss_reg']):.6f},{float(m['loss_noise_reg']):.6f}\n"
-        for i, m in rows
-    ]
+    """[(first_iter, device-metrics)] -> CSV lines; metrics may be per-step
+    scalars or K-stacked scan outputs (one host sync per flush)."""
+    out = []
+    for i0, m in rows:
+        cols = [
+            np.atleast_1d(np.asarray(m[k]))
+            for k in ("loss_D", "loss_G_adv", "loss_reg", "loss_noise_reg")
+        ]
+        for j in range(cols[0].shape[0]):
+            out.append(
+                f"{i0 + j},{cols[0][j]:.6f},{cols[1][j]:.6f},"
+                f"{cols[2][j]:.6f},{cols[3][j]:.6f}\n"
+            )
+    return out
 
 
 def init_dynamic_training(cfg: DynamicTrainConfig) -> GANTrainState:
@@ -174,7 +207,26 @@ def train_dynamic(
     os.makedirs(final_dir, exist_ok=True)
     log_file = os.path.join(cfg.outdir, "training_log.txt")
 
-    step_fn, _ = make_dynamic_train_step(cfg)
+    use_device_pool = cfg.device_pool
+    if use_device_pool is None:
+        use_device_pool = (
+            mesh is None
+            and hasattr(pool, "patches")
+            and pool.patches.nbytes <= 4 << 30
+        )
+    K = cfg.steps_per_call
+    if K > 1:
+        if not use_device_pool:
+            raise ValueError("steps_per_call > 1 requires device_pool")
+        for name, v in (
+            ("iters", cfg.iters), ("log_every", cfg.log_every),
+            ("kernel_log_every", cfg.kernel_log_every),
+            ("ckpt_every", cfg.ckpt_every),
+        ):
+            if v % K:
+                raise ValueError(f"{name}={v} must be a multiple of steps_per_call={K}")
+
+    step_fn, _ = make_dynamic_train_step(cfg, device_pool=use_device_pool)
     state = init_dynamic_training(cfg)
 
     start_iter = 0
@@ -199,12 +251,19 @@ def train_dynamic(
 
     host_rng = np.random.default_rng(cfg.seed + start_iter)
     rows: list = []
-    iterator = range(start_iter, cfg.iters)
+    if K > 1:
+        if start_iter % K:
+            raise ValueError(f"resume step {start_iter} not a multiple of K={K}")
+        iterator = range(start_iter + K - 1, cfg.iters, K)
+    else:
+        iterator = range(start_iter, cfg.iters)
     if progress:
         try:
             from tqdm import tqdm
 
-            iterator = tqdm(iterator, desc="Training dynamic", unit="iter")
+            iterator = tqdm(
+                iterator, desc="Training dynamic", unit="chunk" if K > 1 else "iter"
+            )
         except ImportError:
             pass
 
@@ -215,26 +274,25 @@ def train_dynamic(
 
         put = functools.partial(shard_batch, mesh)
 
-    use_device_pool = cfg.device_pool
-    if use_device_pool is None:
-        use_device_pool = (
-            mesh is None
-            and hasattr(pool, "patches")
-            and pool.patches.nbytes <= 4 << 30
-        )
     pool_dev = jnp.asarray(pool.patches) if use_device_pool else None
     n_pool = len(pool)
     take = jax.jit(lambda p, i: jnp.take(p, i, axis=0)) if use_device_pool else None
 
     for t in iterator:
-        if use_device_pool:
+        if K > 1:
+            state, ms = step_fn(state, pool_dev)
+            rows.append((t + 2 - K, ms))
+            m = jax.tree_util.tree_map(lambda a: a[-1], ms)
+        elif use_device_pool:
             hr = take(pool_dev, jnp.asarray(host_rng.integers(0, n_pool, cfg.batch_size)))
             crop_src = take(pool_dev, jnp.asarray(host_rng.integers(0, n_pool, cfg.batch_size)))
+            state, m = step_fn(state, hr, crop_src)
+            rows.append((t + 1, m))
         else:
             hr = put(pool.sample(host_rng, cfg.batch_size))
             crop_src = put(pool.sample(host_rng, cfg.batch_size))
-        state, m = step_fn(state, hr, crop_src)
-        rows.append((t + 1, m))
+            state, m = step_fn(state, hr, crop_src)
+            rows.append((t + 1, m))
         if (t + 1) % cfg.log_every == 0:
             with open(log_file, "a", encoding="utf-8") as f:
                 f.writelines(_format_dyn_rows(rows))

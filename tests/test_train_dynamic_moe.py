@@ -40,6 +40,22 @@ def test_dynamic_checkpoint_resume(tmp_path, pool):
     assert [l.split(",")[0] for l in lines[1:]] == ["1", "2", "3", "4"]
 
 
+def test_dynamic_chunked_scan(tmp_path, pool):
+    """steps_per_call > 1: K steps per dispatch, CSV rows still per-iter."""
+    cfg = DynamicTrainConfig(
+        iters=4, batch_size=2, hr_patch_size=32, lr_crop_size=4,
+        log_every=2, kernel_log_every=2, steps_per_call=2,
+        outdir=str(tmp_path), verbose=False,
+        model=DynamicConfig(mid_ch=4),
+        discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+    )
+    out = train_dynamic(pool, cfg, progress=False)
+    assert int(out["state"].step) == 4
+    np.testing.assert_allclose(out["kernel_per_band"].sum(axis=(1, 2)), 1.0, rtol=1e-4)
+    lines = (tmp_path / "training_log.txt").read_text().splitlines()
+    assert [l.split(",")[0] for l in lines[1:]] == ["1", "2", "3", "4"]
+
+
 def test_train_dynamic_smoke(tmp_path, pool):
     cfg = DynamicTrainConfig(
         iters=3,
