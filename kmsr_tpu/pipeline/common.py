@@ -66,3 +66,43 @@ def run_per_file(
             if on_error:
                 on_error(item, e)
     return RunReport(succeeded=ok, failed=fail, seconds=time.time() - t0)
+
+
+def chunked_reader(
+    files: list,
+    batch_size: int,
+    read_fn: Callable,
+    lookahead: int = 2,
+):
+    """Yield (valid_paths, stacks, failures) per chunk, with the NEXT
+    chunk's file reads running on a background thread while the caller
+    (typically a device computation) consumes the current one — the host
+    IO / device-compute overlap the file-batched stages (factory,
+    apply_kernel, sr_infer) use. Per-file failure isolation preserved;
+    chunks are yielded strictly in order so seeded RNG streams match the
+    synchronous path.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=lookahead)
+
+    def worker():
+        for start in range(0, len(files), batch_size):
+            chunk = files[start : start + batch_size]
+            stacks, valid, fail = [], [], []
+            for path in chunk:
+                try:
+                    stacks.append(read_fn(path))
+                    valid.append(path)
+                except Exception as e:
+                    fail.append((path, str(e)))
+            q.put((valid, stacks, fail))
+        q.put(None)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        yield item

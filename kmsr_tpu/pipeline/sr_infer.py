@@ -49,23 +49,21 @@ def sr_infer_folder(
     fwd = jax.jit(lambda p, x: sr_forward(p, x, cfg))
 
     ok, fail, metrics = [], [], []
-    iterator = range(0, len(files), batch_size)
+    from .common import chunked_reader
+
+    reader = chunked_reader(files, batch_size, lambda p: read_band_stack(p, in_group))
     if progress:
         try:
             from tqdm import tqdm
 
-            iterator = tqdm(iterator, desc="SR inference", unit="batch")
+            reader = tqdm(
+                reader, desc="SR inference", unit="batch",
+                total=-(-len(files) // batch_size),
+            )
         except ImportError:
             pass
-    for start in iterator:
-        chunk = files[start : start + batch_size]
-        stacks, valid = [], []
-        for path in chunk:
-            try:
-                stacks.append(read_band_stack(path, in_group))
-                valid.append(path)
-            except Exception as e:
-                fail.append((path, str(e)))
+    for valid, stacks, chunk_fail in reader:
+        fail.extend(chunk_fail)
         if not stacks:
             continue
         batch = jnp.asarray(np.stack(stacks, axis=0))
