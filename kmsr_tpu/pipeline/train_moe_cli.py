@@ -31,6 +31,8 @@ def main(argv=None) -> int:
     p.add_argument("--temp-start", type=float, default=5.0)
     p.add_argument("--temp-end", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="K>1 fuses K steps into one on-device lax.scan dispatch")
     p.add_argument("--ckpt-every", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest orbax checkpoint in outdir/ckpt")
@@ -56,6 +58,7 @@ def main(argv=None) -> int:
             n_kernels=a.n_kernels, kernel_size=a.kernel_size, factor=a.factor
         ),
         outdir=a.outdir,
+        steps_per_call=a.steps_per_call,
         ckpt_every=a.ckpt_every,
         resume=a.resume,
         seed=a.seed,

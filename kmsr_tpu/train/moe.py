@@ -59,13 +59,17 @@ class MoETrainConfig:
     outdir: str = "output/moe_kernels_run"
     device_pool: bool | None = None  # HBM-resident pool with on-device
     #   batch gathers (see train.single_kernel); auto for pools <= 4 GB
+    steps_per_call: int = 1  # >1: K steps per dispatch as one on-device
+    #   lax.scan with device-PRNG index sampling; the annealed temperature
+    #   schedule rides the scan as per-step xs (requires device_pool;
+    #   iters and log/ckpt intervals must be multiples of K)
     ckpt_every: int = 0  # 0 = no orbax checkpoints
     resume: bool = False  # resume from the latest checkpoint in outdir/ckpt
     seed: int = 0
     verbose: bool = True
 
 
-def make_moe_train_step(cfg: MoETrainConfig) -> Callable:
+def make_moe_train_step(cfg: MoETrainConfig, device_pool: bool = False) -> Callable:
     g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=None)
     d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=None)
 
@@ -130,6 +134,27 @@ def make_moe_train_step(cfg: MoETrainConfig) -> Callable:
         }
         return new_state, metrics
 
+    if device_pool and cfg.steps_per_call > 1:
+
+        def chunk_step(state, pool_dev, temps_chunk):
+            n_pool = pool_dev.shape[0]
+
+            def body(st, temp):
+                rng, k_hr, k_cr = jax.random.split(st.rng, 3)
+                hr_idx = jax.random.randint(k_hr, (cfg.batch_size,), 0, n_pool)
+                cr_idx = jax.random.randint(k_cr, (cfg.batch_size,), 0, n_pool)
+                st = dataclasses.replace(st, rng=rng)
+                return step(
+                    st,
+                    jnp.take(pool_dev, hr_idx, axis=0),
+                    jnp.take(pool_dev, cr_idx, axis=0),
+                    temp,
+                )
+
+            return jax.lax.scan(body, state, temps_chunk)
+
+        return jax.jit(chunk_step, donate_argnums=(0,)), (g_tx, d_tx)
+
     return jax.jit(step, donate_argnums=(0,)), (g_tx, d_tx)
 
 
@@ -187,7 +212,21 @@ def train_moe(
     init_from: str | None = None,
 ) -> dict:
     os.makedirs(cfg.outdir, exist_ok=True)
-    step_fn, _ = make_moe_train_step(cfg)
+    use_device_pool = cfg.device_pool
+    if use_device_pool is None:
+        use_device_pool = hasattr(pool, "patches") and pool.patches.nbytes <= 4 << 30
+    K = cfg.steps_per_call
+    if K > 1:
+        if not use_device_pool:
+            raise ValueError("steps_per_call > 1 requires device_pool")
+        for name, v in (
+            ("iters", cfg.iters),
+            ("log_every", cfg.log_every),
+            ("ckpt_every", cfg.ckpt_every),
+        ):
+            if v % K:
+                raise ValueError(f"{name}={v} must be a multiple of steps_per_call={K}")
+    step_fn, _ = make_moe_train_step(cfg, device_pool=use_device_pool)
     state = init_moe_training(cfg, init_from=init_from)
 
     start_iter = 0
@@ -205,31 +244,39 @@ def train_moe(
     temps = np.linspace(cfg.temp_start, cfg.temp_end, cfg.iters).astype(np.float32)
     host_rng = np.random.default_rng(cfg.seed + start_iter)
 
-    iterator = range(start_iter, cfg.iters)
+    if K > 1:
+        if start_iter % K:
+            raise ValueError(f"resume step {start_iter} not a multiple of K={K}")
+        iterator = range(start_iter + K - 1, cfg.iters, K)
+    else:
+        iterator = range(start_iter, cfg.iters)
     if progress:
         try:
             from tqdm import tqdm
 
-            iterator = tqdm(iterator, desc="Training MoE", unit="iter")
+            iterator = tqdm(
+                iterator, desc="Training MoE", unit="chunk" if K > 1 else "iter"
+            )
         except ImportError:
             pass
 
-    use_device_pool = cfg.device_pool
-    if use_device_pool is None:
-        use_device_pool = hasattr(pool, "patches") and pool.patches.nbytes <= 4 << 30
     pool_dev = jnp.asarray(pool.patches) if use_device_pool else None
     n_pool = len(pool)
     take = jax.jit(lambda p, i: jnp.take(p, i, axis=0)) if use_device_pool else None
 
     history = []
     for t in iterator:
-        if use_device_pool:
+        if K > 1:
+            state, ms = step_fn(state, pool_dev, jnp.asarray(temps[t + 1 - K : t + 1]))
+            m = jax.tree_util.tree_map(lambda a: a[-1], ms)
+        elif use_device_pool:
             hr = take(pool_dev, jnp.asarray(host_rng.integers(0, n_pool, cfg.batch_size)))
             crop_src = take(pool_dev, jnp.asarray(host_rng.integers(0, n_pool, cfg.batch_size)))
+            state, m = step_fn(state, hr, crop_src, jnp.float32(temps[t]))
         else:
             hr = jnp.asarray(pool.sample(host_rng, cfg.batch_size))
             crop_src = jnp.asarray(pool.sample(host_rng, cfg.batch_size))
-        state, m = step_fn(state, hr, crop_src, jnp.float32(temps[t]))
+            state, m = step_fn(state, hr, crop_src, jnp.float32(temps[t]))
         if (t + 1) % cfg.log_every == 0:
             sel = np.asarray(m["selection"]).astype(int)
             history.append((t + 1, float(m["loss_D"]), sel))

@@ -90,6 +90,25 @@ def test_train_dynamic_smoke(tmp_path, pool):
     assert k0.shape == (5, 13, 13)
 
 
+def test_moe_chunked_scan(tmp_path, pool):
+    """steps_per_call > 1 in the MoE trainer: the annealed temperature
+    schedule rides the scan as per-step xs; artifacts still well-formed."""
+    cfg = MoETrainConfig(
+        iters=4, batch_size=2, hr_patch_size=32, lr_crop_size=8,
+        log_every=2, steps_per_call=2,
+        outdir=str(tmp_path / "moe_chunk"), verbose=False,
+        model=MoEConfig(n_kernels=4),
+        discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+    )
+    out = train_moe(pool, cfg, progress=False)
+    assert int(out["state"].step) == 4
+    assert [h[0] for h in out["history"]] == [2, 4]
+    for i in range(4):
+        k = np.load(tmp_path / "moe_chunk" / f"kernel_{i}.npy")
+        np.testing.assert_allclose(k.sum(axis=(1, 2)), 1.0, rtol=1e-4)
+        assert (np.load(tmp_path / "moe_chunk" / f"sigma_{i}.npy") > 0).all()
+
+
 def test_train_moe_smoke(tmp_path, pool):
     cfg = MoETrainConfig(
         iters=3,
