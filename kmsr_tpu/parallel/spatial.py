@@ -24,7 +24,7 @@ try:  # jax >= 0.8 top-level API; the experimental alias is deprecated
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..ops.degrade import block_mean, depthwise_conv2d, normalize_kernel
+from ..ops.degrade import compose_with_box, depthwise_conv2d, normalize_kernel
 
 
 def _halo_exchange(x_local: jax.Array, halo: int, axis_name: str) -> jax.Array:
@@ -72,14 +72,18 @@ def degrade_scene_sharded(
     )
     kh, kw = kernel.shape[-2:]
     halo = kh // 2
+    # Fused form: blur (*) box at stride `factor` — the full-resolution
+    # blurred intermediate is never materialized (a 8192^2 scene would
+    # otherwise cost an extra ~1.3 GB of HBM per band-stack plus layout
+    # copies; measured OOM on one v5e chip unfused).
+    comp = compose_with_box(kernel, factor)  # [C, kh+f-1, kw+f-1]
 
-    def local_fn(x_local, k):
-        x_ext = _halo_exchange(x_local, halo, axis_name)      # [C, Hs+2h, W]
+    def local_fn(x_local, k_comp):
+        x_ext = _halo_exchange(x_local, halo, axis_name)  # [C, Hs+2halo, W]
         x_ext = jnp.pad(
             x_ext, ((0, 0), (0, 0), (kw // 2, kw // 2)), mode="edge"
         )
-        blurred = depthwise_conv2d(x_ext[None], k)[0]          # [C, Hs, W]
-        return block_mean(blurred[None], factor)[0]
+        return _degrade_slab(x_ext, k_comp, factor, ext=2 * halo)
 
     fn = shard_map(
         local_fn,
@@ -87,4 +91,88 @@ def degrade_scene_sharded(
         in_specs=(P(None, axis_name, None), P(None, None, None)),
         out_specs=P(None, axis_name, None),
     )
-    return fn(scene, kernel)
+    return fn(scene, comp)
+
+
+# Output rows per row band. XLA's strided depthwise conv degenerates on
+# whole-scene spatial extents (a 25x im2col-style layout copy: measured
+# OOM at 8192^2 on one 16 GB v5e chip, and ~290 Mpix/s at 4096^2). Slicing
+# rows into overlapping bands stacked on the conv's BATCH dim — built from
+# free reshape views + one concat, with "CNHW" dimension numbers so no
+# transpose is ever materialized — reaches ~980 Mpix/s at 8192^2 on the
+# same chip. Band size 8 won the measured sweep (4: 955, 8: 984, 16: 860,
+# 32: 677 Mpix/s); bands also bound the conv's scratch to one band-row.
+_BAND_OUT_ROWS = 8
+
+
+def _degrade_slab(
+    xp: jax.Array, comp: jax.Array, factor: int, ext: int
+) -> jax.Array:
+    """Strided depthwise conv of a pre-padded slab via row-band batching.
+
+    xp: [C, Hs + ext, W + ext] (already halo/edge padded); comp: the
+    blur (*) box composed kernel [C, ext+factor, ext+factor], stride
+    `factor`. Returns [C, Hs/factor, W/factor].
+    """
+    c = xp.shape[0]
+    hs, w = xp.shape[1] - ext, xp.shape[2] - ext
+    out_rows = hs // factor
+    t = _BAND_OUT_ROWS
+    while out_rows % t:  # largest divisor of the output rows <= default
+        t -= 1
+    s = t * factor
+    nt = hs // s
+    if nt <= 1:
+        return depthwise_conv2d(xp[None], comp, stride=factor)[0]
+    need = (nt + 1) * s
+    if xp.shape[1] < need:  # rows beyond nt*s+ext are reshaped past, not read
+        xp = jnp.pad(xp, ((0, 0), (0, need - xp.shape[1]), (0, 0)))
+    a = xp[:, : nt * s].reshape(c, nt, s, -1)  # free views;
+    b = xp[:, s : (nt + 1) * s].reshape(c, nt, s, -1)[:, :, :ext]
+    bands = jnp.concatenate([a, b], axis=2)  # [C, nt, s+ext, W+ext]: 1 copy
+    out = jax.lax.conv_general_dilated(
+        bands,
+        comp[:, None],
+        (factor, factor),
+        "VALID",
+        dimension_numbers=("CNHW", "OIHW", "CNHW"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [C, nt, t, W/factor] — CNHW out: reshapes to the scene with no copy
+    return out.reshape(c, nt * t, w // factor)
+
+
+def degrade_scene(
+    scene: jax.Array,
+    kernel: jax.Array,
+    mesh: Mesh | None = None,
+    factor: int = 8,
+    axis_name: str = "data",
+) -> jax.Array:
+    """Shape-tolerant whole-scene degrade: [C, H, W] -> [C, H//f, W//f].
+
+    Wraps `degrade_scene_sharded` for arbitrary scene sizes: H and W are
+    cropped down to multiples of `factor` (the reference's stacked
+    avg-pools floor odd dims the same way), then H is padded UP to a
+    multiple of n_devices*factor with edge-replicated rows. Because the
+    single-device path replicate-pads the blur at the true bottom edge,
+    the padded rows are exactly the rows that padding would synthesize —
+    kept output rows are bit-compatible with `ops.degrade`; the extra
+    blocks are cropped off. `mesh=None` builds a 1-D mesh over all
+    visible devices.
+    """
+    if mesh is None:
+        import numpy as np
+
+        mesh = Mesh(np.array(jax.devices()), (axis_name,))
+    c, h, w = scene.shape
+    h_keep, w_keep = (h // factor) * factor, (w // factor) * factor
+    scene = scene[:, :h_keep, :w_keep]
+    n = mesh.shape[axis_name]
+    tile = n * factor
+    pad_rows = (-h_keep) % tile
+    if pad_rows:
+        edge = jnp.repeat(scene[:, -1:], pad_rows, axis=1)
+        scene = jnp.concatenate([scene, edge], axis=1)
+    out = degrade_scene_sharded(scene, kernel, mesh, factor, axis_name)
+    return out[:, : h_keep // factor]

@@ -35,3 +35,40 @@ def test_sharded_scene_shape_gate(mesh):
     scene = jnp.zeros((5, 100, 64))
     with pytest.raises(ValueError):
         degrade_scene_sharded(scene, jnp.ones((13, 13)), mesh, factor=8)
+
+
+def test_degrade_scene_uneven_shapes(mesh, rng):
+    """The shape-tolerant wrapper: H not a multiple of n_devices*factor
+    (edge-replicated row padding), W with a sub-factor remainder (cropped,
+    matching the reference's flooring avg-pools)."""
+    from kmsr_tpu.parallel.spatial import degrade_scene
+
+    scene = jnp.asarray(rng.normal(5, 2, size=(5, 300, 137)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(5, 13, 13)).astype(np.float32))
+    want = np.asarray(degrade(scene[:, :296, :136], kernel, factor=8))
+    got = np.asarray(degrade_scene(scene, kernel, mesh, factor=8))
+    assert got.shape == (5, 37, 17)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_degrade_scene_cli(tmp_path, rng):
+    """Whole-scene pipeline stage: NaN-masked scene in, blurred group out."""
+    from kmsr_tpu.io.ncio import read_band_stack, write_band_stack
+    from kmsr_tpu.io.schema import GROUP_BLURRED, GROUP_GEO
+    from kmsr_tpu.pipeline.degrade_scene import main
+
+    scene = rng.normal(5, 2, size=(5, 144, 80)).astype(np.float32)
+    scene[:, :16, :16] = np.nan  # masked corner: two whole 8x8 cells NaN
+    write_band_stack(str(tmp_path / "scene.nc"), GROUP_GEO, scene, mode="w")
+    np.save(tmp_path / "k.npy", rng.uniform(0, 1, size=(13, 13)).astype(np.float32))
+
+    rc = main([
+        "--input", str(tmp_path / "scene.nc"),
+        "--kernel", str(tmp_path / "k.npy"),
+        "--output-dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    lr = read_band_stack(str(tmp_path / "out" / "scene_blurred.nc"), GROUP_BLURRED)
+    assert lr.shape == (5, 18, 10)
+    assert np.isnan(lr[:, :2, :2]).all()  # all-NaN footprints restored
+    assert np.isfinite(lr[:, 3:, 3:]).all()
