@@ -24,10 +24,27 @@ class NaNPatchError(ValueError):
     patch-cut time (reference parity: hard error, not silent skip)."""
 
 
-def list_patch_files(patch_dir: str, pattern: str = "*.nc") -> list[str]:
+def list_patch_files(
+    patch_dir: str, pattern: str = "*.nc", host_shard: bool = True
+) -> list[str]:
+    """Sorted file list; under a multi-host launch each host gets its own
+    deterministic strided shard (identity for a single process), so every
+    file-in/file-out pipeline stage scales across hosts with no flag —
+    file bytes never cross DCN (`parallel.multihost`)."""
     files = sorted(glob.glob(os.path.join(patch_dir, pattern)))
     if not files:
         raise FileNotFoundError(f"no {pattern} files in {patch_dir}")
+    if host_shard:
+        import jax
+
+        if jax.process_count() > 1:
+            from ..parallel.multihost import host_shard as shard
+
+            files = shard(files)
+            if not files:
+                raise FileNotFoundError(
+                    f"host {jax.process_index()}'s shard of {patch_dir} is empty"
+                )
     return files
 
 

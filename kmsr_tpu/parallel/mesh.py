@@ -46,5 +46,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Device-put a host array with the batch axis sharded over the mesh."""
+    """Device-put a host array with the batch axis sharded over the mesh.
+
+    Under a multi-host launch, `batch` is this host's rows (sampled from
+    its own file shard, see `parallel.multihost`) and the result is the
+    assembled GLOBAL array of shape [B_local * n_hosts, ...] — the train
+    steps consume it unchanged.
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh, axis), np.asarray(batch)
+        )
     return jax.device_put(batch, batch_sharding(mesh, axis))
