@@ -1,0 +1,249 @@
+"""Stage: run the WHOLE pipeline DAG from one config file.
+
+The reference has no orchestrator — stage order is encoded in filename
+prefixes (`A_ -> C_ -> D_ -> E_`, SURVEY.md section 1) and hard-coded
+absolute paths inside each script. Here the same DAG is driven from a
+single JSON config: every stage keeps its own CLI (and flag names), the
+orchestrator just sequences them over a shared workdir with per-stage
+timing and fail-fast accounting.
+
+    cut -> denoise -> noise_pool -> train_kernel(single|dynamic|moe)
+        -> factory (fused C_30+E_) | apply_kernel + make_train_data
+        -> check_shapes -> [sr_train -> sr_infer] -> analyze
+
+Usage:
+    python -m kmsr_tpu.pipeline.run_all --write-config pipeline.json
+    # edit pipeline.json (set input_dir to calibrated scene .nc files)
+    python -m kmsr_tpu.pipeline.run_all --config pipeline.json \
+        [--workdir RUNDIR] [--from-stage denoise] [--only cut,denoise]
+"""
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import time
+
+#: Template config. Every stage block maps 1:1 onto that stage's CLI
+#: flags (`--flag-name` -> "flag_name"); `enabled: false` skips a stage.
+DEFAULT_CONFIG: dict = {
+    "workdir": "kmsr_run",
+    "input_dir": "scenes",  # calibrated 5-band .nc scenes (geophysical_data)
+    "trainer": "single",  # single | dynamic | moe
+    "use_fused_factory": True,  # one device pass (C_30+E_); else apply+make
+    "stages": {
+        "cut": {
+            "enabled": True,
+            "patch_size": 256,
+            "stride_ratio": 0.5,
+            "nan_threshold": 0.0,
+        },
+        "denoise": {"enabled": True, "h_factor": 1.0, "device_batch": 8},
+        "noise_pool": {
+            "enabled": True,
+            "patch_size": 32,
+            "samples_per_file": 5,
+            "seed": 42,
+        },
+        "train_kernel": {
+            "enabled": True,
+            "iters": 10000,
+            "batch_size": 16,
+            "lr_crop_size": 32,
+        },
+        "factory": {"enabled": True, "factor": 8, "seed": 42},
+        "check_shapes": {"enabled": True},
+        "sr_train": {
+            "enabled": False,
+            "iters": 2000,
+            "batch_size": 16,
+            "width": 32,
+            "n_blocks": 4,
+            "upsampler": "oneshot",
+        },
+        "sr_infer": {"enabled": False},
+        "analyze": {"enabled": True},
+    },
+}
+
+
+def _argv(options: dict, **extra) -> list[str]:
+    """Stage config block -> CLI argv (skips 'enabled'; bools are flags)."""
+    out = []
+    merged = {**options, **extra}
+    merged.pop("enabled", None)
+    for key, val in merged.items():
+        flag = "--" + key.replace("_", "-")
+        if isinstance(val, bool):
+            if val:
+                out.append(flag)
+        else:
+            out += [flag, str(val)]
+    return out
+
+
+def run_pipeline(config: dict, from_stage: str | None = None,
+                 only: list[str] | None = None) -> dict:
+    """Execute the DAG; returns {stage: seconds}. Raises on stage failure."""
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    cfg.update({k: v for k, v in config.items() if k != "stages"})
+    for name, block in (config.get("stages") or {}).items():
+        cfg["stages"].setdefault(name, {}).update(block)
+
+    work = cfg["workdir"]
+    os.makedirs(work, exist_ok=True)
+    paths = {
+        "patches": os.path.join(work, "patches"),
+        "denoised": os.path.join(work, "denoised"),
+        "pool": os.path.join(work, "noise_pool.npy"),
+        "gan": os.path.join(work, "kernel_run"),
+        "pairs": os.path.join(work, "train_pairs"),
+        "blurred": os.path.join(work, "blurred"),
+        "sr": os.path.join(work, "sr_run"),
+        "sr_out": os.path.join(work, "sr_out"),
+    }
+    trainer = cfg["trainer"]
+    if trainer not in ("single", "dynamic", "moe"):
+        raise ValueError(f"trainer must be single|dynamic|moe, got {trainer}")
+    kernel_art = os.path.join(
+        paths["gan"],
+        {"single": "kernel_per_band.npy",
+         "dynamic": os.path.join("final_results", "kernel_per_band.npy"),
+         "moe": "kernel_0.npy"}[trainer],
+    )
+    s = cfg["stages"]
+
+    def stage_list():
+        from . import (  # local imports: each stage pulls jax lazily
+            check_shapes, cut, denoise_cli, factory, make_train_data,
+            noise_pool_cli, sr_infer, train_dynamic_cli, train_moe_cli,
+            train_single_kernel_cli, train_sr_cli, apply_kernel,
+        )
+        from ..analysis import log_analyzer
+
+        train_main = {
+            "single": train_single_kernel_cli.main,
+            "dynamic": train_dynamic_cli.main,
+            "moe": train_moe_cli.main,
+        }[trainer]
+        steps = [
+            ("cut", cut.main, _argv(
+                s["cut"], input_dir=cfg["input_dir"], output_dir=paths["patches"])),
+            ("denoise", denoise_cli.main, ["--batch", paths["patches"]] + _argv(
+                s["denoise"], output=paths["denoised"])),
+            ("noise_pool", noise_pool_cli.main, _argv(
+                s["noise_pool"], input_dir=paths["denoised"],
+                output_file=paths["pool"])),
+            ("train_kernel", train_main, _argv(
+                s["train_kernel"],
+                **({"patch_dir": paths["denoised"], "format": "nc"}
+                   if trainer != "single" else {"patch_dir": paths["denoised"]}),
+                outdir=paths["gan"])),
+        ]
+        if cfg["use_fused_factory"]:
+            steps.append(("factory", factory.main, _argv(
+                s["factory"], input_dir=paths["denoised"], kernel=kernel_art,
+                noise_pool=paths["pool"], output_dir=paths["pairs"])))
+        else:
+            fac = dict(s["factory"])
+            fac.pop("seed", None)
+            steps.append(("apply_kernel", apply_kernel.main, _argv(
+                fac, input_dir=paths["denoised"], kernel=kernel_art,
+                output_dir=paths["blurred"])))
+            steps.append(("make_train_data", make_train_data.main, _argv(
+                {"seed": s["factory"].get("seed", 42)},
+                input_dir=paths["blurred"], noise_pool=paths["pool"],
+                output_dir=paths["pairs"])))
+        steps.append(("check_shapes", check_shapes.main, _argv(
+            s["check_shapes"], input_dir=paths["pairs"], group="lr")))
+        steps.append(("sr_train", train_sr_cli.main, _argv(
+            s["sr_train"], train_dir=paths["pairs"], outdir=paths["sr"],
+            factor=s["factory"].get("factor", 8))))
+        steps.append(("sr_infer", sr_infer.main, _argv(
+            s["sr_infer"], input_dir=paths["pairs"],
+            model=os.path.join(paths["sr"], "sr_model.npz"),
+            output_dir=paths["sr_out"],
+            factor=s["factory"].get("factor", 8),
+            width=s["sr_train"].get("width", 32),
+            n_blocks=s["sr_train"].get("n_blocks", 4),
+            upsampler=s["sr_train"].get("upsampler", "oneshot"))))
+        steps.append(("analyze", log_analyzer.main,
+                      [os.path.join(paths["gan"], "training_log.txt")]))
+        return steps
+
+    enabled = {
+        "cut": s["cut"]["enabled"],
+        "denoise": s["denoise"]["enabled"],
+        "noise_pool": s["noise_pool"]["enabled"],
+        "train_kernel": s["train_kernel"]["enabled"],
+        "factory": s["factory"]["enabled"],
+        "apply_kernel": s["factory"]["enabled"],
+        "make_train_data": s["factory"]["enabled"],
+        "check_shapes": s["check_shapes"]["enabled"],
+        "sr_train": s["sr_train"]["enabled"],
+        "sr_infer": s["sr_infer"]["enabled"],
+        # the analyzer only applies to the single-kernel CSV log
+        "analyze": s["analyze"]["enabled"] and trainer == "single",
+    }
+
+    timings: dict[str, float] = {}
+    started = from_stage is None
+    for name, fn, argv in stage_list():
+        if not started:
+            if name == from_stage:
+                started = True
+            else:
+                print(f"[run_all] {name}: skipped (--from-stage)")
+                continue
+        if only is not None and name not in only:
+            continue
+        if not enabled[name]:
+            print(f"[run_all] {name}: disabled")
+            continue
+        print(f"[run_all] {name}: {' '.join(argv)}")
+        t0 = time.time()
+        rc = fn(argv)
+        timings[name] = time.time() - t0
+        if rc not in (0, None):
+            raise RuntimeError(f"stage '{name}' failed with exit code {rc}")
+        print(f"[run_all] {name}: done in {timings[name]:.1f}s")
+    total = sum(timings.values())
+    print(f"[run_all] pipeline complete: {len(timings)} stages, {total:.1f}s")
+    return timings
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Run the full kmsr pipeline DAG")
+    p.add_argument("--config", help="JSON config (see --write-config)")
+    p.add_argument("--write-config", metavar="PATH",
+                   help="write the commented template config and exit")
+    p.add_argument("--workdir", help="override config workdir")
+    p.add_argument("--input-dir", help="override config input_dir")
+    p.add_argument("--from-stage", help="resume the DAG at this stage")
+    p.add_argument("--only", help="comma-separated subset of stages to run")
+    a = p.parse_args(argv)
+
+    if a.write_config:
+        with open(a.write_config, "w", encoding="utf-8") as f:
+            json.dump(DEFAULT_CONFIG, f, indent=2)
+        print(f"template config -> {a.write_config}")
+        return 0
+    if not a.config:
+        p.error("--config or --write-config required")
+    with open(a.config, encoding="utf-8") as f:
+        config = json.load(f)
+    if a.workdir:
+        config["workdir"] = a.workdir
+    if a.input_dir:
+        config["input_dir"] = a.input_dir
+    run_pipeline(
+        config,
+        from_stage=a.from_stage,
+        only=a.only.split(",") if a.only else None,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

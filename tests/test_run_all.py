@@ -1,0 +1,84 @@
+"""Orchestrator: the full DAG from one JSON config on synthetic scenes."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from kmsr_tpu.io import NCFile, write_band_stack
+from kmsr_tpu.io.schema import GROUP_GEO
+from kmsr_tpu.pipeline.run_all import main, run_pipeline
+
+
+@pytest.fixture
+def scenes(tmp_path, rng):
+    d = tmp_path / "scenes"
+    d.mkdir()
+    for i in range(2):
+        scene = rng.uniform(0.5, 5.0, size=(5, 80, 80)).astype(np.float32)
+        scene[4] = 1.0  # NIR inside the water-mask window
+        write_band_stack(str(d / f"s{i}.nc"), GROUP_GEO, scene, mode="w")
+        with NCFile(str(d / f"s{i}.nc"), "a") as f:
+            nav = np.linspace(30, 31, 80 * 80).reshape(80, 80).astype(np.float32)
+            f.create_variable("navigation_data", "latitude", nav, dims=("y", "x"))
+            f.create_variable("navigation_data", "longitude", nav, dims=("y", "x"))
+    return d
+
+
+def tiny_config(tmp_path, scenes) -> dict:
+    return {
+        "workdir": str(tmp_path / "run"),
+        "input_dir": str(scenes),
+        "trainer": "single",
+        "stages": {
+            "cut": {"patch_size": 32, "stride_ratio": 1.0},
+            "denoise": {"h_factor": 1.0, "device_batch": 4},
+            "noise_pool": {"patch_size": 4, "samples_per_file": 2},
+            "train_kernel": {
+                "iters": 2, "batch_size": 2, "lr_crop_size": 4,
+                "log_every": 2, "kernel_log_every": 2,
+            },
+            "factory": {"factor": 8},
+            "check_shapes": {"size": 4},
+            "sr_train": {"enabled": False},
+            "sr_infer": {"enabled": False},
+        },
+    }
+
+
+def test_run_all_dag(tmp_path, scenes):
+    timings = run_pipeline(tiny_config(tmp_path, scenes))
+    assert list(timings) == [
+        "cut", "denoise", "noise_pool", "train_kernel", "factory",
+        "check_shapes", "analyze",
+    ]
+    run = tmp_path / "run"
+    assert (run / "kernel_run" / "kernel_per_band.npy").exists()
+    assert (run / "noise_pool.npy").exists()
+    pairs = [p for p in os.listdir(run / "train_pairs") if p.endswith(".nc")]
+    assert pairs
+    k = np.load(run / "kernel_run" / "kernel_per_band.npy")
+    assert k.shape == (5, 13, 13)
+    np.testing.assert_allclose(k.sum(axis=(1, 2)), 1.0, rtol=1e-4)
+
+
+def test_run_all_cli_roundtrip(tmp_path, scenes):
+    """--write-config template runs as-is after shrinking; --only subsets."""
+    cfg_path = tmp_path / "pipeline.json"
+    assert main(["--write-config", str(cfg_path)]) == 0
+    cfg = json.loads(cfg_path.read_text())
+    cfg.update(tiny_config(tmp_path, scenes))
+    # stage dicts must merge over template defaults, not replace them
+    cfg_path.write_text(json.dumps(cfg))
+    rc = main(["--config", str(cfg_path), "--only", "cut,denoise"])
+    assert rc == 0
+    assert (tmp_path / "run" / "patches").is_dir()
+    assert (tmp_path / "run" / "denoised").is_dir()
+    assert not (tmp_path / "run" / "train_pairs").exists()
+
+
+def test_run_all_rejects_bad_trainer(tmp_path, scenes):
+    cfg = tiny_config(tmp_path, scenes)
+    cfg["trainer"] = "bogus"
+    with pytest.raises(ValueError):
+        run_pipeline(cfg)
