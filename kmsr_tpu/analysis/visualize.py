@@ -91,8 +91,14 @@ def plot_hr_vs_degraded(
     plt.close(fig)
 
 
-def plot_kernels(kernels: np.ndarray, out_path: str, title: str = "") -> None:
-    """Per-band kernel grid + merged mean (parity: visualize_all_kernels)."""
+def plot_kernels(
+    kernels: np.ndarray, out_path: str, title: str = "", annotate: bool = False
+) -> None:
+    """Per-band kernel grid + merged mean (parity: visualize_all_kernels).
+
+    annotate=True writes each cell's value into the figure for kernels up
+    to 15x15 (parity: `visualize_kernels.py:51-57`).
+    """
     kernels = np.asarray(kernels)
     if kernels.ndim == 2:
         kernels = kernels[None]
@@ -100,20 +106,71 @@ def plot_kernels(kernels: np.ndarray, out_path: str, title: str = "") -> None:
     fig, axes = plt.subplots(1, n + 1, figsize=(2.4 * (n + 1), 2.6))
     if n + 1 == 1:
         axes = [axes]
+
+    def _annotate(ax, k):
+        if not annotate or k.shape[0] > 15 or k.shape[1] > 15:
+            return
+        thresh = k.max() * 0.5
+        for i in range(k.shape[0]):
+            for j in range(k.shape[1]):
+                ax.text(
+                    j, i, f"{k[i, j]:.3f}", ha="center", va="center",
+                    fontsize=4, color="white" if k[i, j] > thresh else "black",
+                )
+
     for i in range(n):
         im = axes[i].imshow(kernels[i], cmap="viridis")
         axes[i].set_title(f"Band {i}", fontsize=9)
         axes[i].axis("off")
         fig.colorbar(im, ax=axes[i], fraction=0.046)
+        _annotate(axes[i], kernels[i])
     merged = kernels.mean(axis=0)
     im = axes[n].imshow(merged, cmap="viridis")
     axes[n].set_title("Merged", fontsize=9)
     axes[n].axis("off")
     fig.colorbar(im, ax=axes[n], fraction=0.046)
+    _annotate(axes[n], merged)
     if title:
         fig.suptitle(title)
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def patch_to_rgb(
+    stack: np.ndarray, rgb_indices: tuple[int, int, int] = (3, 2, 1)
+) -> np.ndarray:
+    """[C,H,W] band stack -> [H,W,3] display RGB with per-channel 1-99
+    percentile stretch (parity: `visualize_all_patches.py:12-45` — uses
+    bands 660/555/490 as R/G/B)."""
+    chans = []
+    for idx in rgb_indices:
+        band = np.asarray(stack[idx], np.float32)
+        finite = band[np.isfinite(band)]
+        if finite.size:
+            vmin, vmax = np.percentile(finite, [1, 99])
+        else:
+            vmin, vmax = 0.0, 1.0
+        if vmax <= vmin:
+            vmax = vmin + 1e-6
+        chans.append(np.clip((band - vmin) / (vmax - vmin), 0.0, 1.0))
+    return np.nan_to_num(np.stack(chans, axis=-1), nan=0.0)
+
+
+def plot_patch_rgb(
+    stack: np.ndarray,
+    out_path: str,
+    title: str = "",
+    rgb_indices: tuple[int, int, int] = (3, 2, 1),
+) -> None:
+    """RGB quicklook PNG for one patch (parity: visualize_all_patches.py)."""
+    rgb = patch_to_rgb(stack, rgb_indices)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(rgb)
+    ax.axis("off")
+    if title:
+        ax.set_title(title)
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
     plt.close(fig)
 
 

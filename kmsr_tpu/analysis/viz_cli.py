@@ -9,6 +9,8 @@ Sub-commands:
               (parity: `denoise/vis_patches.py`)
   nir         NIR water-mask overview figure for a scene
               (parity: `A_00_patch_cutter_universal.py:263-316`)
+  rgb         RGB (660/555/490) quicklook PNG per patch, file or folder
+              (parity: `visualize_all_patches.py`)
   hist        band-distribution comparison histogram — two files of the
               same group (sensor-vs-sensor, count mode with 0.0001/99.99
               percentile shared bins) or two groups of one file (hr-vs-lr,
@@ -51,8 +53,39 @@ def cmd_kernels(a) -> int:
         out = os.path.join(
             a.output_dir, os.path.basename(f).replace(".npy", ".png")
         )
-        plot_kernels(k, out, title=os.path.basename(f))
+        plot_kernels(k, out, title=os.path.basename(f), annotate=a.annotate)
         print(f"{os.path.basename(f)}: shape={k.shape} sum={k.sum():.4f} -> {out}")
+    return 0
+
+
+def cmd_rgb(a) -> int:
+    from .visualize import plot_patch_rgb
+
+    targets = (
+        sorted(
+            glob.glob(os.path.join(a.path, "*.npy"))
+            + glob.glob(os.path.join(a.path, "*.nc"))
+        )
+        if os.path.isdir(a.path)
+        else [a.path]
+    )
+    if not targets:
+        print(f"no .npy/.nc patches in {a.path}")
+        return 1
+    out_dir = a.output_dir or (
+        os.path.join(a.path, "visualizations")
+        if os.path.isdir(a.path)
+        else os.path.dirname(a.path) or "."
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for f in targets:
+        stack = (
+            np.load(f) if f.endswith(".npy") else read_band_stack(f, a.group)
+        )
+        base = os.path.basename(f)
+        out = os.path.join(out_dir, os.path.splitext(base)[0] + "_rgb.png")
+        plot_patch_rgb(stack, out, title=base)
+        print(f"{base}: shape={stack.shape} -> {out}")
     return 0
 
 
@@ -187,6 +220,17 @@ def main(argv=None) -> int:
     pk = sub.add_parser("kernels")
     pk.add_argument("--input-dir", required=True)
     pk.add_argument("--output-dir", required=True)
+    pk.add_argument("--annotate", action="store_true",
+                    help="write per-cell values into kernels <= 15x15 "
+                         "(parity: visualize_kernels.py)")
+
+    pr = sub.add_parser("rgb")
+    pr.add_argument("path", help="one patch file or a dir of .npy/.nc patches")
+    pr.add_argument("--group", default=GROUP_GEO,
+                    help="NetCDF group for .nc inputs")
+    pr.add_argument("--output-dir", default=None,
+                    help="default: <dir>/visualizations (parity: "
+                         "visualize_all_patches.py)")
 
     pm = sub.add_parser("moe")
     pm.add_argument("--moe-dir", required=True)
@@ -221,7 +265,7 @@ def main(argv=None) -> int:
     a = p.parse_args(argv)
     return {
         "kernels": cmd_kernels, "moe": cmd_moe, "patch": cmd_patch,
-        "nir": cmd_nir, "hist": cmd_hist,
+        "nir": cmd_nir, "hist": cmd_hist, "rgb": cmd_rgb,
     }[a.cmd](a)
 
 

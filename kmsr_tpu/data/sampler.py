@@ -16,7 +16,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..io.ncio import read_band_stack
-from ..io.schema import BAND_NAMES, GROUP_DENOISED
+from ..io.schema import BAND_NAMES, GROUP_DENOISED, GROUP_GEO
 
 
 class NaNPatchError(ValueError):
@@ -169,6 +169,121 @@ class StreamingPatchPool:
 
     def wait(self) -> np.ndarray:
         return self._loader.wait()
+
+
+def gradient_weight_map(
+    img: np.ndarray,
+    valid_mask: Optional[np.ndarray] = None,
+    eps: float = 1e-6,
+) -> np.ndarray:
+    """Gradient-magnitude sampling-probability map over a scene.
+
+    Parity: `trash/data_single_GOCI.py:69-105` (KernelGAN-style
+    gradient-weighted patch sampling) — high-gradient regions get higher
+    sampling probability; invalid (NaN) regions get zero.
+
+    img: [C, H, W]; valid_mask: [H, W] bool. Returns [H, W] probabilities
+    summing to 1.
+    """
+    # the reference's loader fills invalid pixels with 0 before gradients
+    # (`trash/data_single_GOCI.py:60`); mirror that so holes don't NaN-poison
+    # neighbouring weights (hole-adjacent windows are excluded separately)
+    img = np.nan_to_num(np.asarray(img, np.float32), nan=0.0)
+    gx = np.pad(np.diff(img, axis=2), ((0, 0), (0, 0), (0, 1)))
+    gy = np.pad(np.diff(img, axis=1), ((0, 0), (0, 1), (0, 0)))
+    p = np.sqrt(gx**2 + gy**2 + eps).mean(axis=0)
+    if valid_mask is not None:
+        p = p * valid_mask.astype(np.float32)
+    p = p - p.min()
+    s = p.sum()
+    if s <= 0:
+        if valid_mask is not None and valid_mask.any():
+            p = valid_mask.astype(np.float32)
+            return p / p.sum()
+        return np.full(p.shape, 1.0 / p.size, np.float32)
+    return p / s
+
+
+def _valid_window_map(valid_mask: np.ndarray, patch_size: int) -> np.ndarray:
+    """[H-ps+1, W-ps+1] bool: True where the patch_size window anchored at
+    that top-left corner contains only valid pixels. Computed with an
+    integral image — O(HW) instead of the reference's per-patch
+    rejection-resampling loop (`trash/data_single_GOCI.py:147-166`)."""
+    ii = np.pad(
+        valid_mask.astype(np.int64).cumsum(axis=0).cumsum(axis=1),
+        ((1, 0), (1, 0)),
+    )
+    ps = patch_size
+    win = ii[ps:, ps:] - ii[:-ps, ps:] - ii[ps:, :-ps] + ii[:-ps, :-ps]
+    return win == ps * ps
+
+
+def sample_scene_patches(
+    rng: np.random.Generator,
+    img: np.ndarray,
+    patch_size: int,
+    batch_size: int,
+    valid_mask: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Gradient-weighted random patches from one whole scene, guaranteed
+    all-valid (parity: `trash/data_single_GOCI.py:108-170`).
+
+    The reference samples a center then rejects/resamples up to 1000 times
+    if the patch touches an invalid pixel; here the set of fully-valid
+    windows is precomputed once (integral image) so every draw succeeds —
+    same distribution restricted to valid windows, no retry loop.
+
+    img: [C, H, W]; returns [B, C, patch_size, patch_size].
+    """
+    img = np.asarray(img, np.float32)
+    c, h, w = img.shape
+    if h < patch_size or w < patch_size:
+        raise ValueError(f"scene {h}x{w} smaller than patch {patch_size}")
+    if valid_mask is None:
+        valid_mask = np.isfinite(img).all(axis=0)
+    weights = gradient_weight_map(img, valid_mask)
+    ok = _valid_window_map(valid_mask, patch_size)
+    pad = patch_size // 2
+    # weight of a window = gradient weight at its center pixel, matching the
+    # reference's center-pixel multinomial draw
+    center_w = weights[pad : pad + ok.shape[0], pad : pad + ok.shape[1]]
+    grid = np.where(ok, center_w, 0.0).ravel().astype(np.float64)
+    s = grid.sum()
+    if s <= 0:
+        raise ValueError(
+            "no fully-valid patch positions to sample from — check that the "
+            f"valid region is at least {patch_size}x{patch_size}"
+        )
+    idx = rng.choice(grid.size, size=batch_size, replace=True, p=grid / s)
+    ys, xs = np.divmod(idx, ok.shape[1])
+    out = np.empty((batch_size, c, patch_size, patch_size), np.float32)
+    for i, (y, x) in enumerate(zip(ys, xs)):
+        out[i] = img[:, y : y + patch_size, x : x + patch_size]
+    return out
+
+
+def load_scene_bands(
+    nc_path: str,
+    group: str = GROUP_GEO,
+    band_names: Sequence[str] = BAND_NAMES,
+    lo_percentile: float = 0.01,
+    hi_percentile: float = 99.99,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-scene loader with per-band percentile normalization to [0, 1]
+    (parity: `trash/data_single_GOCI.py:13-66`). Returns
+    (image [C,H,W] float32 in [0,1], valid_mask [H,W] bool)."""
+    stack = read_band_stack(nc_path, group, band_names)
+    valid = np.isfinite(stack).all(axis=0)
+    out = np.zeros_like(stack, np.float32)
+    for ci in range(stack.shape[0]):
+        vals = stack[ci][valid]
+        if vals.size:
+            vmin, vmax = np.percentile(vals, [lo_percentile, hi_percentile])
+            if vmax <= vmin:
+                vmax = vmin + 1.0
+            out[ci] = np.clip((stack[ci] - vmin) / (vmax - vmin), 0.0, 1.0)
+    out[:, ~valid] = 0.0
+    return out, valid
 
 
 def synthetic_pool(

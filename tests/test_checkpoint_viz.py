@@ -106,3 +106,51 @@ def test_viz_hist_compare(tmp_path):
     assert viz_main(["hist", str(pair), "--group", "hr", "--group-b", "lr",
                      "--density", "--output", str(out2)]) == 0
     assert out2.exists() and out2.stat().st_size > 0
+
+
+def test_viz_cli_rgb_and_annotated_kernels(tmp_path, rng, capsys):
+    """RGB quicklooks (visualize_all_patches.py parity) for a folder of
+    .npy patches and a single .nc patch; annotated kernel rendering
+    (visualize_kernels.py parity)."""
+    from kmsr_tpu.analysis.viz_cli import main
+    from kmsr_tpu.io import GROUP_GEO, write_band_stack
+
+    pdir = tmp_path / "patches"
+    pdir.mkdir()
+    for i in range(3):
+        np.save(pdir / f"p{i}.npy", rng.uniform(0, 8, (5, 16, 16)).astype(np.float32))
+    rc = main(["rgb", str(pdir)])
+    assert rc == 0
+    # default output dir mirrors the reference: <dir>/visualizations
+    pngs = list((pdir / "visualizations").glob("*_rgb.png"))
+    assert len(pngs) == 3
+
+    f = tmp_path / "one.nc"
+    stack = rng.uniform(0.5, 5, (5, 16, 16)).astype(np.float32)
+    stack[0, 0, 0] = np.nan  # NaN must not break the stretch
+    write_band_stack(f, GROUP_GEO, stack, mode="w")
+    rc = main(["rgb", str(f), "--output-dir", str(tmp_path / "rgbo")])
+    assert rc == 0
+    assert (tmp_path / "rgbo" / "one_rgb.png").exists()
+
+    kdir = tmp_path / "ak"
+    kdir.mkdir()
+    np.save(kdir / "kernel_merged.npy", rng.uniform(0, 1, (13, 13)))
+    rc = main(["kernels", "--input-dir", str(kdir),
+               "--output-dir", str(tmp_path / "ako"), "--annotate"])
+    assert rc == 0
+    assert (tmp_path / "ako" / "kernel_merged.png").exists()
+
+
+def test_patch_to_rgb_values(rng):
+    from kmsr_tpu.analysis.visualize import patch_to_rgb
+
+    stack = rng.uniform(0, 10, (5, 8, 8)).astype(np.float32)
+    rgb = patch_to_rgb(stack)
+    assert rgb.shape == (8, 8, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+    # channel order is R=660 (band 3), G=555 (band 2), B=490 (band 1)
+    flat = stack[3]
+    vmin, vmax = np.percentile(flat, [1, 99])
+    expect = np.clip((flat - vmin) / (vmax - vmin), 0, 1)
+    np.testing.assert_allclose(rgb[..., 0], expect, atol=1e-6)
