@@ -91,6 +91,38 @@ class PatchPool:
         return cls(np.stack(stacks, axis=0), sources=files, allow_nan=allow_nan)
 
     @classmethod
+    def from_scene(
+        cls,
+        nc_path: str,
+        group: str = GROUP_GEO,
+        patch_size: int = 256,
+        n_patches: int = 512,
+        seed: int = 0,
+        normalize: bool = True,
+    ) -> "PatchPool":
+        """KernelGAN single-image mode: build a pool by drawing
+        gradient-weighted, fully-valid patches from ONE whole scene
+        (parity: `trash/data_single_GOCI.py` — the reference samples fresh
+        patches every iteration; a pre-drawn pool of n_patches >> batch
+        keeps the same content distribution while letting the pool live in
+        HBM for the scan-chunked trainer).
+
+        normalize=False keeps radiance units (the main train path's
+        convention) instead of the reference sampler's [0,1] stretch.
+        """
+        if normalize:
+            scene, mask = load_scene_bands(nc_path, group)
+        else:
+            scene = read_band_stack(nc_path, group)
+            mask = np.isfinite(scene).all(axis=0)
+            scene = np.nan_to_num(scene, nan=0.0)
+        rng = np.random.default_rng(seed)
+        patches = sample_scene_patches(
+            rng, scene, patch_size, n_patches, valid_mask=mask
+        )
+        return cls(patches, sources=[f"{nc_path}[{group}]"] * n_patches)
+
+    @classmethod
     def from_npy_dir(cls, patch_dir: str, allow_nan: bool = False) -> "PatchPool":
         files = list_patch_files(patch_dir, "*.npy")
         stacks = [np.load(f).astype(np.float32) for f in files]

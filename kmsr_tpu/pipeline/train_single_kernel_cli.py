@@ -7,6 +7,10 @@ Usage:
     python -m kmsr_tpu.pipeline.train_single_kernel_cli \
         --patch-dir PATCHES --outdir OUT [--iters 10000] [--batch-size 16] \
         [--lr 4e-4] [--reg-weight 0.002] [--group denoised] [--seed 0]
+
+    # KernelGAN single-image mode (gradient-weighted draws from one scene):
+    python -m kmsr_tpu.pipeline.train_single_kernel_cli \
+        --scene-file SCENE.nc --group geophysical_data --outdir OUT
 """
 from __future__ import annotations
 
@@ -20,7 +24,17 @@ from ..train.single_kernel import SingleKernelConfig, train_single_kernel
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train single-kernel KernelGAN")
-    p.add_argument("--patch-dir", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--patch-dir")
+    src.add_argument("--scene-file",
+                     help="KernelGAN single-image mode: train from ONE whole "
+                          "scene via gradient-weighted NaN-avoiding patch "
+                          "draws (parity: trash/data_single_GOCI.py)")
+    p.add_argument("--scene-patches", type=int, default=512,
+                   help="pool size drawn from --scene-file")
+    p.add_argument("--scene-raw", action="store_true",
+                   help="keep radiance units instead of the scene sampler's "
+                        "[0,1] percentile stretch")
     p.add_argument("--outdir", required=True)
     p.add_argument("--group", default=GROUP_DENOISED)
     p.add_argument("--iters", type=int, default=10_000)
@@ -56,7 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
-    pool = PatchPool.from_nc_dir(a.patch_dir, group=a.group)
+    if a.scene_file:
+        pool = PatchPool.from_scene(
+            a.scene_file, group=a.group, n_patches=a.scene_patches,
+            seed=a.seed, normalize=not a.scene_raw,
+        )
+    else:
+        pool = PatchPool.from_nc_dir(a.patch_dir, group=a.group)
     cfg = SingleKernelConfig(
         iters=a.iters,
         batch_size=a.batch_size,

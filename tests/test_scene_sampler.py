@@ -111,3 +111,46 @@ def test_end_to_end_scene_sampling(tmp_path, rng):
     patches = sample_scene_patches(rng, scene, 32, 8, valid_mask=mask)
     assert patches.shape == (8, 5, 32, 32)
     assert np.isfinite(patches).all()
+
+
+def test_pool_from_scene_and_training(tmp_path, rng):
+    """KernelGAN single-image mode: a PatchPool drawn from one scene feeds
+    the standard trainer (parity+: trash/data_single_GOCI.py was the
+    reference's abandoned single-image sampler; here it is a first-class
+    input mode)."""
+    from kmsr_tpu.data import PatchPool
+    from kmsr_tpu.models import DiscriminatorConfig, GeneratorConfig
+    from kmsr_tpu.train import SingleKernelConfig, train_single_kernel
+
+    img, _ = _holed_scene(rng, h=256, w=256, n_holes=4)
+    img = img * 6.0 + 1.0
+    path = str(tmp_path / "scene.nc")
+    write_band_stack(path, "geophysical_data", np.nan_to_num(img, nan=-9999.0),
+                     mode="w")
+    pool = PatchPool.from_scene(path, patch_size=64, n_patches=8, seed=1)
+    assert pool.shape == (8, 5, 64, 64)
+    assert np.isfinite(pool.patches).all()
+
+    cfg = SingleKernelConfig(
+        iters=2, hr_patch_size=64, lr_crop_size=8, batch_size=4,
+        log_every=2, kernel_log_every=2, outdir=str(tmp_path / "out"),
+        verbose=False,
+        generator=GeneratorConfig(mid_ch=8),
+        discriminator=DiscriminatorConfig(base_ch=8, num_blocks=2),
+    )
+    out = train_single_kernel(pool, cfg, progress=False)
+    k = out["kernel_per_band"]
+    assert k.shape == (5, 13, 13) and np.isfinite(k).all()
+    np.testing.assert_allclose(k.sum(axis=(1, 2)), 1.0, rtol=1e-4)
+
+
+def test_from_scene_raw_units(tmp_path, rng):
+    from kmsr_tpu.data import PatchPool
+
+    img = rng.uniform(3.0, 9.0, (5, 96, 96)).astype(np.float32)
+    path = str(tmp_path / "scene.nc")
+    write_band_stack(path, "geophysical_data", img, mode="w")
+    pool = PatchPool.from_scene(path, patch_size=32, n_patches=4,
+                                normalize=False)
+    # radiance units preserved (not squashed to [0,1])
+    assert pool.patches.max() > 2.0
