@@ -63,6 +63,8 @@ DEFAULT_CONFIG: dict = {
             "upsampler": "oneshot",
         },
         "sr_infer": {"enabled": False},
+        "sr_scene": {"enabled": False, "in_group": "geophysical_data",
+                     "tile": 64},
         "analyze": {"enabled": True},
     },
 }
@@ -117,8 +119,9 @@ def run_pipeline(config: dict, from_stage: str | None = None,
     def stage_list():
         from . import (  # local imports: each stage pulls jax lazily
             check_shapes, cut, denoise_cli, factory, make_train_data,
-            noise_pool_cli, sr_infer, train_dynamic_cli, train_moe_cli,
-            train_single_kernel_cli, train_sr_cli, apply_kernel,
+            noise_pool_cli, sr_infer, sr_scene, train_dynamic_cli,
+            train_moe_cli, train_single_kernel_cli, train_sr_cli,
+            apply_kernel,
         )
         from ..analysis import log_analyzer
 
@@ -168,6 +171,14 @@ def run_pipeline(config: dict, from_stage: str | None = None,
             width=s["sr_train"].get("width", 32),
             n_blocks=s["sr_train"].get("n_blocks", 4),
             upsampler=s["sr_train"].get("upsampler", "oneshot"))))
+        steps.append(("sr_scene", sr_scene.main, _argv(
+            s["sr_scene"], input=cfg["input_dir"],
+            model=os.path.join(paths["sr"], "sr_model.npz"),
+            output_dir=os.path.join(work, "sr_scenes"),
+            factor=s["factory"].get("factor", 8),
+            width=s["sr_train"].get("width", 32),
+            n_blocks=s["sr_train"].get("n_blocks", 4),
+            upsampler=s["sr_train"].get("upsampler", "oneshot"))))
         steps.append(("analyze", log_analyzer.main,
                       [os.path.join(paths["gan"], "training_log.txt")]))
         return steps
@@ -183,6 +194,7 @@ def run_pipeline(config: dict, from_stage: str | None = None,
         "check_shapes": s["check_shapes"]["enabled"],
         "sr_train": s["sr_train"]["enabled"],
         "sr_infer": s["sr_infer"]["enabled"],
+        "sr_scene": s["sr_scene"]["enabled"],
         # the analyzer only applies to the single-kernel CSV log
         "analyze": s["analyze"]["enabled"] and trainer == "single",
     }
