@@ -7,6 +7,7 @@ bad file never kills a run; this module centralizes that contract.
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import time
 import traceback
@@ -106,3 +107,17 @@ def chunked_reader(
         if item is None:
             return
         yield item
+
+
+@contextlib.contextmanager
+def maybe_trace(log_dir: Optional[str]):
+    """Wrap a stage body in a jax.profiler device trace when log_dir is
+    set (CLI `--trace DIR`); no-op otherwise. View with TensorBoard."""
+    if not log_dir:
+        yield
+        return
+    from ..utils.profiling import device_trace
+
+    with device_trace(log_dir):
+        yield
+    print(f"[trace] device timeline written to {log_dir}")

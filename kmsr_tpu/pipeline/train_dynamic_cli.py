@@ -43,6 +43,8 @@ def main(argv=None) -> int:
                    help="resume from the latest orbax checkpoint in outdir/ckpt")
     p.add_argument("--bulk-extract", action="store_true",
                    help="after training, extract a per-patch kernel for every file")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the run")
     a = p.parse_args(argv)
     if a.format == "npy":
         pool = PatchPool.from_npy_dir(a.patch_dir)
@@ -61,7 +63,10 @@ def main(argv=None) -> int:
         resume=a.resume,
         seed=a.seed,
     )
-    out = train_dynamic(pool, cfg)
+    from .common import maybe_trace
+
+    with maybe_trace(a.trace):
+        out = train_dynamic(pool, cfg)
     print(f"final kernels: {out['kernel_per_band'].shape} -> {a.outdir}/final_results")
     if a.bulk_extract:
         paths = bulk_extract_kernels(

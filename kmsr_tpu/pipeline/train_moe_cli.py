@@ -41,6 +41,8 @@ def main(argv=None) -> int:
         help="warm-start selector+banks from a checkpoint: the reference's "
              "torch moe_model.pth or this framework's moe_model.npz",
     )
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the run")
     a = p.parse_args(argv)
     if a.format == "npy":
         pool = PatchPool.from_npy_dir(a.patch_dir)
@@ -63,7 +65,10 @@ def main(argv=None) -> int:
         resume=a.resume,
         seed=a.seed,
     )
-    out = train_moe(pool, cfg, init_from=a.init_from)
+    from .common import maybe_trace
+
+    with maybe_trace(a.trace):
+        out = train_moe(pool, cfg, init_from=a.init_from)
     print(f"saved {len(out['artifacts'])} MoE artifacts -> {a.outdir}")
     return 0
 

@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the reference's regularizer has no G-gradient)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the run")
     return p
 
 
@@ -101,7 +103,10 @@ def main(argv=None) -> int:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(axis_names=("data",))
-    out = train_single_kernel(pool, cfg, mesh=mesh)
+    from .common import maybe_trace
+
+    with maybe_trace(a.trace):
+        out = train_single_kernel(pool, cfg, mesh=mesh)
     print(
         f"saved kernel_per_band.npy {out['kernel_per_band'].shape}, "
         f"kernel_merged.npy sum={out['kernel_merged'].sum():.6f}"

@@ -43,6 +43,8 @@ def main(argv=None) -> int:
     p.add_argument("--f32", action="store_true", help="train in f32 instead of bf16")
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the run")
     a = p.parse_args(argv)
     lr_all, hr_all = load_pairs(a.train_dir)
     print(f"loaded {lr_all.shape[0]} pairs: lr {lr_all.shape[1:]}, hr {hr_all.shape[1:]}")
@@ -62,7 +64,10 @@ def main(argv=None) -> int:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(axis_names=("data",))
-    out = train_sr((lr_all, hr_all), cfg, mesh=mesh)
+    from .common import maybe_trace
+
+    with maybe_trace(a.trace):
+        out = train_sr((lr_all, hr_all), cfg, mesh=mesh)
     print(f"model saved: {out['model_path']}")
     return 0
 

@@ -154,3 +154,29 @@ def test_patch_to_rgb_values(rng):
     vmin, vmax = np.percentile(flat, [1, 99])
     expect = np.clip((flat - vmin) / (vmax - vmin), 0, 1)
     np.testing.assert_allclose(rgb[..., 0], expect, atol=1e-6)
+
+
+def test_trainer_trace_flag(tmp_path, rng):
+    """--trace DIR captures a jax.profiler device trace around training."""
+    from kmsr_tpu.data import synthetic_pool
+    from kmsr_tpu.pipeline.train_single_kernel_cli import main as train_main
+
+    pdir = tmp_path / "patches"
+    pdir.mkdir()
+    pool = synthetic_pool(rng, n=4, size=64, blur_sigma=None)
+    from kmsr_tpu.io import GROUP_DENOISED, write_band_stack
+
+    for i in range(4):
+        write_band_stack(pdir / f"p{i}.nc", GROUP_DENOISED, pool.patches[i],
+                         mode="w")
+    trace_dir = tmp_path / "trace"
+    rc = train_main([
+        "--patch-dir", str(pdir), "--outdir", str(tmp_path / "out"),
+        "--iters", "2", "--batch-size", "2", "--lr-crop-size", "8",
+        "--log-every", "2", "--kernel-log-every", "2",
+        "--trace", str(trace_dir),
+    ])
+    assert rc == 0
+    # jax.profiler writes plugins/profile/<ts>/*.trace.json.gz under the dir
+    traced = list(trace_dir.rglob("*"))
+    assert any(p.is_file() for p in traced), "no trace files written"
