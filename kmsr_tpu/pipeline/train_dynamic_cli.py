@@ -43,6 +43,8 @@ def main(argv=None) -> int:
                    help="resume from the latest orbax checkpoint in outdir/ckpt")
     p.add_argument("--bulk-extract", action="store_true",
                    help="after training, extract a per-patch kernel for every file")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all devices")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of the run")
     a = p.parse_args(argv)
@@ -63,10 +65,15 @@ def main(argv=None) -> int:
         resume=a.resume,
         seed=a.seed,
     )
+    mesh = None
+    if a.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_names=("data",))
     from .common import maybe_trace
 
     with maybe_trace(a.trace):
-        out = train_dynamic(pool, cfg)
+        out = train_dynamic(pool, cfg, mesh=mesh)
     print(f"final kernels: {out['kernel_per_band'].shape} -> {a.outdir}/final_results")
     if a.bulk_extract:
         paths = bulk_extract_kernels(

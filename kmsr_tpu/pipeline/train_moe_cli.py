@@ -41,6 +41,8 @@ def main(argv=None) -> int:
         help="warm-start selector+banks from a checkpoint: the reference's "
              "torch moe_model.pth or this framework's moe_model.npz",
     )
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all devices")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of the run")
     a = p.parse_args(argv)
@@ -65,10 +67,15 @@ def main(argv=None) -> int:
         resume=a.resume,
         seed=a.seed,
     )
+    mesh = None
+    if a.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_names=("data",))
     from .common import maybe_trace
 
     with maybe_trace(a.trace):
-        out = train_moe(pool, cfg, init_from=a.init_from)
+        out = train_moe(pool, cfg, init_from=a.init_from, mesh=mesh)
     print(f"saved {len(out['artifacts'])} MoE artifacts -> {a.outdir}")
     return 0
 

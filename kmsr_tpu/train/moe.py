@@ -210,11 +210,19 @@ def train_moe(
     cfg: MoETrainConfig = MoETrainConfig(),
     progress: bool = True,
     init_from: str | None = None,
+    mesh=None,
 ) -> dict:
+    """mesh: optional 1-D device mesh with a 'data' axis — the batch is
+    DP-sharded and XLA inserts the gradient reductions over ICI (the same
+    scheme as `train_single_kernel`/`train_dynamic`)."""
     os.makedirs(cfg.outdir, exist_ok=True)
     use_device_pool = cfg.device_pool
     if use_device_pool is None:
-        use_device_pool = hasattr(pool, "patches") and pool.patches.nbytes <= 4 << 30
+        use_device_pool = (
+            mesh is None
+            and hasattr(pool, "patches")
+            and pool.patches.nbytes <= 4 << 30
+        )
     K = cfg.steps_per_call
     if K > 1:
         if not use_device_pool:
@@ -240,6 +248,19 @@ def train_moe(
             start_iter = last
             if cfg.verbose:
                 print(f"resumed from checkpoint step {last}")
+
+    if mesh is not None:
+        from ..parallel.mesh import replicated
+
+        state = jax.device_put(state, replicated(mesh))
+
+    put = jnp.asarray
+    if mesh is not None:
+        import functools
+
+        from ..parallel.mesh import shard_batch
+
+        put = functools.partial(shard_batch, mesh)
 
     temps = np.linspace(cfg.temp_start, cfg.temp_end, cfg.iters).astype(np.float32)
     host_rng = np.random.default_rng(cfg.seed + start_iter)
@@ -274,8 +295,8 @@ def train_moe(
             crop_src = take(pool_dev, jnp.asarray(host_rng.integers(0, n_pool, cfg.batch_size)))
             state, m = step_fn(state, hr, crop_src, jnp.float32(temps[t]))
         else:
-            hr = jnp.asarray(pool.sample(host_rng, cfg.batch_size))
-            crop_src = jnp.asarray(pool.sample(host_rng, cfg.batch_size))
+            hr = put(pool.sample(host_rng, cfg.batch_size))
+            crop_src = put(pool.sample(host_rng, cfg.batch_size))
             state, m = step_fn(state, hr, crop_src, jnp.float32(temps[t]))
         if (t + 1) % cfg.log_every == 0:
             sel = np.asarray(m["selection"]).astype(int)

@@ -140,3 +140,28 @@ def test_train_moe_smoke(tmp_path, pool):
     got = np.asarray(st.g_params["kernel_bank"])
     want = np.asarray(out["state"].g_params["kernel_bank"])
     np.testing.assert_array_equal(got, want)
+
+
+def test_moe_dp_mesh_matches_single_device(tmp_path, pool):
+    """DP over the 8-device CPU mesh: same host-RNG batch stream, so the
+    learned bank must match the single-device run (gradient psum over the
+    mesh == single-device batch gradient)."""
+    from kmsr_tpu.parallel import make_mesh
+
+    def cfg(tag):
+        return MoETrainConfig(
+            iters=2, batch_size=8, hr_patch_size=32, lr_crop_size=8,
+            log_every=2, device_pool=False,
+            outdir=str(tmp_path / tag), verbose=False,
+            model=MoEConfig(n_kernels=4),
+            discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+        )
+
+    out_single = train_moe(pool, cfg("single"), progress=False)
+    mesh = make_mesh(axis_names=("data",))
+    out_dp = train_moe(pool, cfg("dp"), progress=False, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(out_single["state"].g_params["kernel_bank"]),
+        np.asarray(out_dp["state"].g_params["kernel_bank"]),
+        atol=1e-5,
+    )
