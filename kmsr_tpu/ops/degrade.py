@@ -168,6 +168,7 @@ def degrade_batch_kernels(
     kernels: jax.Array,
     factor: int = 8,
     decimate: bool = False,
+    padding: str = "same",
 ) -> jax.Array:
     """Per-sample per-band kernels: img [B,C,H,W], kernels [B,C,kH,kW].
 
@@ -177,16 +178,28 @@ def degrade_batch_kernels(
     subsampling (MoE variant, `train_gemini.py:134`) instead of block mean.
 
     NOTE (parity): the MoE variant uses zero ('SAME') padding, unlike the
-    replicate padding of the single-kernel degrader; we honor that here.
+    replicate padding of the single-kernel degrader; the default honors
+    that. `padding="replicate"` selects the C_30/C_31 blur edge semantics
+    instead (used by the factory's content-adaptive MoE mode).
     """
     b, c, h, w = img.shape
     kh, kw = kernels.shape[-2:]
-    # Extract kh*kw shifted copies: [B, C*kh*kw, H, W] with SAME zero pad.
+    if padding == "replicate":
+        img = jnp.pad(
+            img, ((0, 0), (0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+            mode="edge",
+        )
+        pad_spec = [(0, 0), (0, 0)]
+    elif padding == "same":
+        pad_spec = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+    else:
+        raise ValueError(f"padding must be same|replicate, got {padding!r}")
+    # Extract kh*kw shifted copies: [B, C*kh*kw, H, W].
     patches = jax.lax.conv_general_dilated_patches(
         img,
         filter_shape=(kh, kw),
         window_strides=(1, 1),
-        padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+        padding=pad_spec,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     patches = patches.reshape(b, c, kh * kw, h, w)

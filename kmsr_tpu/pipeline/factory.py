@@ -51,9 +51,45 @@ def degrade_with_noise(
     return degrade_strided(batch, kernel, factor=factor) + noise
 
 
+def load_moe_for_factory(moe_path: str):
+    """Load a trained MoE degradation model for content-adaptive factory
+    runs. moe_path: a dir holding `moe_model.npz` (this framework, with
+    optional `moe_state.npz` BN stats), that .npz itself, or the
+    reference's torch `moe_model.pth`. Returns (params, state, eval_mode):
+    eval_mode is True when BN running stats were found (batch-independent
+    selection); otherwise selection falls back to batch statistics."""
+    from ..models.moe import MoEConfig, init_moe
+
+    if moe_path.endswith(".pth"):
+        from ..utils.torch_import import load_moe_torch_checkpoint
+
+        params, state = load_moe_torch_checkpoint(moe_path)
+        return params, state, True
+    npz = (
+        moe_path if moe_path.endswith(".npz")
+        else os.path.join(moe_path, "moe_model.npz")
+    )
+    data = np.load(npz)
+    bank = None
+    for k in data.files:
+        if k.startswith("name_") and "kernel_bank" in str(data[k]):
+            bank = data["arr_" + k[len("name_"):]]
+    if bank is None:
+        raise ValueError(f"{npz} has no kernel_bank leaf — not a MoE model")
+    cfg = MoEConfig(n_kernels=bank.shape[0], kernel_size=bank.shape[2])
+    from ..utils.params_io import load_params
+
+    template, state0 = init_moe(jax.random.PRNGKey(0), cfg)
+    params = load_params(npz, template)
+    state_path = os.path.join(os.path.dirname(npz), "moe_state.npz")
+    if os.path.exists(state_path):
+        return params, load_params(state_path, state0), True
+    return params, state0, False
+
+
 def run_factory(
     input_dir: str,
-    kernel_path: str,
+    kernel_path: str | None,
     noise_pool_path: str,
     output_dir: str,
     factor: int = 8,
@@ -62,17 +98,59 @@ def run_factory(
     seed: int = 42,
     backend: str = "xla",
     progress: bool = True,
+    moe_path: str | None = None,
+    moe_noise: str = "pool",
 ) -> RunReport:
+    """moe_path switches the factory to content-adaptive mode: each HR
+    patch is routed by the trained SelectorNet to its expert kernel
+    (argmax — the trained regime's hard low-temperature selection) and
+    degraded with THAT kernel, instead of the reference C_31 behavior of
+    collapsing the bank to one batch-mean kernel. moe_noise: 'pool'
+    keeps the empirical noise-pool injection (E_ semantics); 'sigma'
+    uses the expert's learned per-band Gaussian sigma instead."""
     t0 = time.time()
-    kernel = jnp.asarray(load_kernel(kernel_path))
+    if (moe_path is None) == (kernel_path is None):
+        raise ValueError("exactly one of kernel_path / moe_path is required")
     pool = np.load(noise_pool_path).astype(np.float32)  # [N, C, h, w]
     files = list_patch_files(input_dir, "*.nc")
     os.makedirs(output_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
-    fn = jax.jit(
-        lambda b, n: degrade_with_noise(b, kernel, n, factor, backend)
-    )
+    if moe_path is None:
+        kernel = jnp.asarray(load_kernel(kernel_path))
+        fn = jax.jit(
+            lambda b, n, key: (
+                degrade_with_noise(b, kernel, n, factor, backend),
+                jnp.zeros((b.shape[0],), jnp.int32),
+            )
+        )
+    else:
+        from ..models.moe import (
+            effective_kernels, effective_sigmas, selector_forward,
+        )
+        from ..ops.degrade import degrade_batch_kernels
+
+        m_params, m_state, eval_mode = load_moe_for_factory(moe_path)
+        banks = effective_kernels(m_params)    # [K, C, kh, kw]
+        sigmas = effective_sigmas(m_params)    # [K, C]
+
+        def moe_fn(b, n, key):
+            # eval-mode BN when running stats were saved; else batch stats
+            logits, _ = selector_forward(
+                m_params["selector"], m_state["selector"], b,
+                train=not eval_mode,
+            )
+            experts = jnp.argmax(logits, axis=-1)          # [B]
+            bk = jnp.take(banks, experts, axis=0)          # [B, C, kh, kw]
+            out = degrade_batch_kernels(
+                b, bk, factor=factor, decimate=False, padding="replicate"
+            )
+            if moe_noise == "sigma":
+                sig = jnp.take(sigmas, experts, axis=0)    # [B, C]
+                n = jax.random.normal(key, out.shape) * sig[:, :, None, None]
+            return out + n, experts
+
+        fn = jax.jit(moe_fn)
 
     ok, fail = [], []
     from .common import chunked_reader
@@ -95,13 +173,21 @@ def run_factory(
         hr_batch = np.stack(stacks, axis=0)
         noise_idx = rng.integers(0, pool.shape[0], size=len(valid))
         noise = jnp.asarray(pool[noise_idx])
-        lr_batch = np.asarray(fn(jnp.asarray(hr_batch), noise))
-        for path, hr, lr in zip(valid, hr_batch, lr_batch):
+        key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+        lr_dev, experts_dev = fn(jnp.asarray(hr_batch), noise, key)
+        lr_batch = np.asarray(lr_dev)
+        experts = np.asarray(experts_dev)
+        for path, hr, lr, expert in zip(valid, hr_batch, lr_batch, experts):
             try:
                 base = os.path.splitext(os.path.basename(path))[0]
                 out_path = os.path.join(output_dir, f"{base}_train.nc")
                 nav = read_nav(path)
                 save_training_sample(out_path, hr, lr, nav or None)
+                if moe_path is not None:  # selection provenance
+                    from ..io.ncio import NCFile
+
+                    with NCFile(out_path, "a") as f:
+                        f.set_attrs({"moe_expert": int(expert)}, group="lr")
                 ok.append(out_path)
             except Exception as e:
                 fail.append((path, str(e)))
@@ -113,7 +199,15 @@ def run_factory(
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Fused hr/lr train-data factory")
     p.add_argument("--input-dir", required=True)
-    p.add_argument("--kernel", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--kernel", help="single per-band kernel .npy")
+    src.add_argument("--moe", help="content-adaptive mode: MoE model dir / "
+                                   "moe_model.npz / reference moe_model.pth — "
+                                   "each patch degrades with its selector-"
+                                   "routed expert kernel")
+    p.add_argument("--moe-noise", choices=["pool", "sigma"], default="pool",
+                   help="pool: empirical noise-pool sample (E_ semantics); "
+                        "sigma: the expert's learned per-band Gaussian")
     p.add_argument("--noise-pool", required=True)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--factor", type=int, default=8)
@@ -125,7 +219,7 @@ def main(argv=None) -> int:
     report = run_factory(
         a.input_dir, a.kernel, a.noise_pool, a.output_dir,
         factor=a.factor, in_group=a.in_group, batch_size=a.batch_size,
-        seed=a.seed, backend=a.backend,
+        seed=a.seed, backend=a.backend, moe_path=a.moe, moe_noise=a.moe_noise,
     )
     return 0 if report.n_fail == 0 else 1
 

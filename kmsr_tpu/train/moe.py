@@ -185,8 +185,15 @@ def init_moe_training(
     return state
 
 
-def save_moe_artifacts(params: dict, out_dir: str) -> list[str]:
-    """kernel_{i}.npy + sigma_{i}.npy + moe_model.npz (state-dict analog)."""
+def save_moe_artifacts(
+    params: dict, out_dir: str, model_state: dict | None = None
+) -> list[str]:
+    """kernel_{i}.npy + sigma_{i}.npy + moe_model.npz (state-dict analog).
+
+    model_state (the selector's BN running stats) additionally writes
+    moe_state.npz so downstream eval-mode selection (e.g. the factory's
+    content-adaptive mode) is batch-independent — the reference's torch
+    state_dict carries these implicitly."""
     os.makedirs(out_dir, exist_ok=True)
     kernels = np.asarray(effective_kernels(params))
     sigmas = np.asarray(effective_sigmas(params))
@@ -202,6 +209,10 @@ def save_moe_artifacts(params: dict, out_dir: str) -> list[str]:
     model_path = os.path.join(out_dir, "moe_model.npz")
     save_params(model_path, params)  # reloadable via train --init-from
     paths.append(model_path)
+    if model_state is not None:
+        state_path = os.path.join(out_dir, "moe_state.npz")
+        save_params(state_path, model_state)
+        paths.append(state_path)
     return paths
 
 
@@ -311,5 +322,8 @@ def train_moe(
 
             save_checkpoint(ckpt_dir, state, t + 1)
 
-    artifacts = save_moe_artifacts(jax.device_get(state.g_params), cfg.outdir)
+    artifacts = save_moe_artifacts(
+        jax.device_get(state.g_params), cfg.outdir,
+        model_state=jax.device_get(state.d_state["moe"]),
+    )
     return {"state": state, "artifacts": artifacts, "history": history}

@@ -93,3 +93,75 @@ def test_kernelgan_learns_blur_width():
     assert data["err_final"] < 0.9 * data["err_init"], data
     # ...by widening toward the true kernel's second moment
     assert data["var_final"] > data["var_init"] + 0.6, data
+
+
+def test_batch_kernels_replicate_padding_matches_single(rng):
+    """degrade_batch_kernels(padding='replicate') with all-equal kernels
+    must equal the single-kernel replicate-pad degrader."""
+    from kmsr_tpu.ops.degrade import degrade_batch_kernels
+
+    x = jnp.asarray(rng.normal(5, 1, (3, 5, 32, 32)).astype(np.float32))
+    k = rng.uniform(0, 1, (5, 13, 13)).astype(np.float32)
+    k /= k.sum(axis=(1, 2), keepdims=True)
+    bk = jnp.broadcast_to(jnp.asarray(k), (3, 5, 13, 13))
+    got = degrade_batch_kernels(x, bk, factor=8, padding="replicate")
+    want = degrade(x, jnp.asarray(k), factor=8, normalize=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_factory_moe_mode(tmp_path, rng):
+    """Content-adaptive factory: patches route through the trained
+    selector to per-patch expert kernels; selection provenance saved."""
+    from kmsr_tpu.data import synthetic_pool
+    from kmsr_tpu.models.moe import MoEConfig
+    from kmsr_tpu.models.discriminator import DiscriminatorConfig
+    from kmsr_tpu.pipeline.factory import main as factory_main
+    from kmsr_tpu.train.moe import MoETrainConfig, train_moe
+
+    pool = synthetic_pool(rng, n=6, size=32, blur_sigma=None)
+    moe_dir = tmp_path / "moe"
+    cfg = MoETrainConfig(
+        iters=2, batch_size=2, hr_patch_size=32, lr_crop_size=8,
+        log_every=2, outdir=str(moe_dir), verbose=False,
+        model=MoEConfig(n_kernels=3),
+        discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+    )
+    train_moe(pool, cfg, progress=False)
+    assert (moe_dir / "moe_state.npz").exists()  # BN stats for eval-mode
+
+    pdir = tmp_path / "patches"
+    pdir.mkdir()
+    for i in range(4):
+        write_band_stack(pdir / f"p{i}.nc", GROUP_DENOISED, pool.patches[i],
+                         mode="w")
+    np.save(tmp_path / "pool.npy",
+            rng.normal(0, 0.1, (8, 5, 8, 8)).astype(np.float32))
+
+    rc = factory_main([
+        "--input-dir", str(pdir), "--moe", str(moe_dir),
+        "--noise-pool", str(tmp_path / "pool.npy"),
+        "--output-dir", str(tmp_path / "out"), "--factor", "4",
+        "--batch-size", "4",
+    ])
+    assert rc == 0
+    outs = sorted((tmp_path / "out").glob("*_train.nc"))
+    assert len(outs) == 4
+    from kmsr_tpu.io.ncio import NCFile
+
+    for f in outs:
+        lr = read_band_stack(str(f), GROUP_LR)
+        assert lr.shape == (5, 8, 8) and np.isfinite(lr).all()
+        with NCFile(str(f), "r") as nc:
+            expert = nc.get_attrs(group="lr")["moe_expert"]
+        assert 0 <= int(expert) < 3
+
+    # sigma-noise variant also runs
+    rc = factory_main([
+        "--input-dir", str(pdir), "--moe", str(moe_dir / "moe_model.npz"),
+        "--moe-noise", "sigma",
+        "--noise-pool", str(tmp_path / "pool.npy"),
+        "--output-dir", str(tmp_path / "out_sigma"), "--factor", "4",
+        "--batch-size", "4",
+    ])
+    assert rc == 0
+    assert len(list((tmp_path / "out_sigma").glob("*_train.nc"))) == 4
