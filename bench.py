@@ -23,15 +23,28 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from kmsr_tpu.ops import degrade_fused
-
     batch = 8192
     iters = 50
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(5.0, 2.0, (batch, 5, 64, 64)).astype(np.float32))
     kernel = jnp.asarray(rng.uniform(0, 1, (5, 13, 13)).astype(np.float32))
 
-    fn = jax.jit(lambda a, k: degrade_fused(a, k, factor=8))
+    if jax.default_backend() == "tpu":
+        # production path: the pad-free fused Mosaic kernel on the factory
+        # CHWB layout (batch in lanes) — ~3.5M patches/s on one v5e
+        from kmsr_tpu.ops.degrade_pallas import degrade_pallas_chwb
+
+        x = jnp.asarray(
+            rng.normal(5.0, 2.0, (5, 64, 64, batch)).astype(np.float32)
+        )
+        fn = jax.jit(lambda a, k: degrade_pallas_chwb(a, k, factor=8))
+    else:
+        # CPU hosts: the XLA strided-conv path (Mosaic needs a TPU)
+        from kmsr_tpu.ops import degrade_fused
+
+        x = jnp.asarray(
+            rng.normal(5.0, 2.0, (batch, 5, 64, 64)).astype(np.float32)
+        )
+        fn = jax.jit(lambda a, k: degrade_fused(a, k, factor=8))
 
     def drain(o):
         # Under the remote-tunnel backend, block_until_ready does not

@@ -58,3 +58,37 @@ def test_pallas_nonsquare_batch(rng):
     want = np.asarray(degrade(img, kernel, factor=8))
     got = np.asarray(degrade_pallas(img, kernel, factor=8, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_v1_v2_agree(data, rng):
+    """The all-phases v2 kernel (input crosses HBM once) must match the
+    v1 phase-grid kernel exactly; both with fused noise."""
+    img, kernel = data
+    x = jnp.transpose(img, (1, 2, 3, 0))  # CHWB
+    pad = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - x.shape[-1])))
+    noise = jnp.asarray(rng.normal(0, 0.1, (5, 8, 8, 128)).astype(np.float32))
+    o1 = np.asarray(degrade_pallas_chwb(pad, kernel, noise=noise, factor=8,
+                                        interpret=True, version=1))
+    o2 = np.asarray(degrade_pallas_chwb(pad, kernel, noise=noise, factor=8,
+                                        interpret=True, version=2))
+    np.testing.assert_allclose(o1, o2, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_v3_fused_pad_free(rng):
+    """v3 (raw-layout, in-kernel phase split + clamped replicate taps)
+    must match the XLA replicate-pad degrader; small shapes keep the
+    interpret-mode compile time reasonable."""
+    img = rng.normal(5, 2, (3, 5, 16, 16)).astype(np.float32)
+    kernel = jnp.asarray(rng.uniform(0, 1, (5, 13, 13)).astype(np.float32))
+    from kmsr_tpu.ops.degrade import degrade_strided
+
+    want = np.asarray(degrade_strided(jnp.asarray(img), kernel, factor=8))
+    xc = jnp.pad(jnp.asarray(np.transpose(img, (1, 2, 3, 0))),
+                 ((0, 0), (0, 0), (0, 0), (0, 125)))
+    out = degrade_pallas_chwb(xc, kernel, factor=8, interpret=True, version=3)
+    got = np.transpose(np.asarray(out)[..., :3], (3, 0, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # span guard: 13x13 blur at factor 4 has span 16 > 3*4
+    with pytest.raises(ValueError, match="span"):
+        degrade_pallas_chwb(xc, kernel, factor=4, interpret=True, version=3)
