@@ -237,6 +237,8 @@ def degrade_pallas_chwb(
 
     if version is None:
         version = 3 if ksize <= 3 * factor else 2
+    if version not in (1, 2, 3):
+        raise ValueError(f"version must be 1, 2, 3 or None, got {version!r}")
     if version == 3:
         if ksize > 3 * factor:
             raise ValueError(

@@ -63,7 +63,7 @@ def load_moe_for_factory(moe_path: str):
     if moe_path.endswith(".pth"):
         from ..utils.torch_import import load_moe_torch_checkpoint
 
-        params, state = load_moe_torch_checkpoint(moe_path)
+        params, state = load_moe_torch_checkpoint(moe_path, cfg=None)
         return params, state, True
     npz = (
         moe_path if moe_path.endswith(".npz")
@@ -76,7 +76,11 @@ def load_moe_for_factory(moe_path: str):
             bank = data["arr_" + k[len("name_"):]]
     if bank is None:
         raise ValueError(f"{npz} has no kernel_bank leaf — not a MoE model")
-    cfg = MoEConfig(n_kernels=bank.shape[0], kernel_size=bank.shape[2])
+    cfg = MoEConfig(
+        n_kernels=bank.shape[0],
+        n_channels=bank.shape[1],
+        kernel_size=bank.shape[2],
+    )
     from ..utils.params_io import load_params
 
     template, state0 = init_moe(jax.random.PRNGKey(0), cfg)
@@ -182,12 +186,13 @@ def run_factory(
                 base = os.path.splitext(os.path.basename(path))[0]
                 out_path = os.path.join(output_dir, f"{base}_train.nc")
                 nav = read_nav(path)
-                save_training_sample(out_path, hr, lr, nav or None)
-                if moe_path is not None:  # selection provenance
-                    from ..io.ncio import NCFile
-
-                    with NCFile(out_path, "a") as f:
-                        f.set_attrs({"moe_expert": int(expert)}, group="lr")
+                save_training_sample(
+                    out_path, hr, lr, nav or None,
+                    lr_attrs=(
+                        {"moe_expert": int(expert)}  # selection provenance
+                        if moe_path is not None else None
+                    ),
+                )
                 ok.append(out_path)
             except Exception as e:
                 fail.append((path, str(e)))

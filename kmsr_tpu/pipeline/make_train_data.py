@@ -27,10 +27,15 @@ MAX_VIS_SAMPLES = 30
 
 
 def save_training_sample(
-    output_path: str, hr: np.ndarray, lr: np.ndarray, nav: dict | None
+    output_path: str,
+    hr: np.ndarray,
+    lr: np.ndarray,
+    nav: dict | None,
+    lr_attrs: dict | None = None,
 ) -> None:
     write_band_stack(output_path, GROUP_HR, hr, dims=("y_hr", "x_hr"), mode="w")
-    write_band_stack(output_path, GROUP_LR, lr, dims=("y_lr", "x_lr"), mode="a")
+    write_band_stack(output_path, GROUP_LR, lr, dims=("y_lr", "x_lr"), mode="a",
+                     group_attrs=lr_attrs)
     if nav:
         with NCFile(output_path, "a") as f:
             for name, arr in nav.items():

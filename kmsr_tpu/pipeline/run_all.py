@@ -145,9 +145,16 @@ def run_pipeline(config: dict, from_stage: str | None = None,
                 outdir=paths["gan"])),
         ]
         if cfg["use_fused_factory"]:
+            # the moe trainer's bank routes content-adaptively through the
+            # factory's --moe mode; single/dynamic use their final kernel
+            kernel_sel = (
+                {"moe": paths["gan"]} if trainer == "moe"
+                else {"kernel": kernel_art}
+            )
             steps.append(("factory", factory.main, _argv(
-                s["factory"], input_dir=paths["denoised"], kernel=kernel_art,
-                noise_pool=paths["pool"], output_dir=paths["pairs"])))
+                s["factory"], input_dir=paths["denoised"],
+                noise_pool=paths["pool"], output_dir=paths["pairs"],
+                **kernel_sel)))
         else:
             fac = dict(s["factory"])
             fac.pop("seed", None)

@@ -106,6 +106,9 @@ def sr_scene(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        n_dev = mesh.devices.size
+        if chunk % n_dev:  # shards must be even; round up, don't fail mid-run
+            chunk = -(-chunk // n_dev) * n_dev
         sharding = NamedSharding(mesh, P("data"))
 
     out = np.empty((c, h * f, w * f), np.float32)
@@ -137,8 +140,13 @@ def sr_scene(
             out[:, y0 * f : (y0 + th) * f, x0 * f : (x0 + tw) * f] = tile_out
 
     if not valid.all():
-        inv_up = np.repeat(np.repeat(~valid, f, axis=1), f, axis=2)
-        out[inv_up] = np.nan
+        # in-place masked write on a block view — a repeated boolean mask
+        # would allocate another full-HR array (GBs at scene scale)
+        np.copyto(
+            out.reshape(c, h, f, w, f),
+            np.nan,
+            where=~valid[:, :, None, :, None],
+        )
     return out
 
 

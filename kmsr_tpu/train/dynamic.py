@@ -207,6 +207,12 @@ def train_dynamic(
     os.makedirs(final_dir, exist_ok=True)
     log_file = os.path.join(cfg.outdir, "training_log.txt")
 
+    if mesh is not None and (cfg.device_pool or cfg.steps_per_call > 1):
+        raise ValueError(
+            "mesh data-parallelism shards host-sampled batches and is "
+            "incompatible with device_pool / steps_per_call > 1 (those keep "
+            "sampling on ONE device); drop --data-parallel or the scan knobs"
+        )
     use_device_pool = cfg.device_pool
     if use_device_pool is None:
         use_device_pool = (

@@ -227,6 +227,12 @@ def train_moe(
     DP-sharded and XLA inserts the gradient reductions over ICI (the same
     scheme as `train_single_kernel`/`train_dynamic`)."""
     os.makedirs(cfg.outdir, exist_ok=True)
+    if mesh is not None and (cfg.device_pool or cfg.steps_per_call > 1):
+        raise ValueError(
+            "mesh data-parallelism shards host-sampled batches and is "
+            "incompatible with device_pool / steps_per_call > 1 (those keep "
+            "sampling on ONE device); drop --data-parallel or the scan knobs"
+        )
     use_device_pool = cfg.device_pool
     if use_device_pool is None:
         use_device_pool = (

@@ -24,10 +24,13 @@ from ..models.moe import MoEConfig
 
 
 def load_moe_torch_checkpoint(
-    path: str, cfg: MoEConfig = MoEConfig()
+    path: str, cfg: MoEConfig | None = MoEConfig()
 ) -> tuple[dict, dict]:
     """Load a reference `moe_model.pth` into (params, state) consumable by
-    `models.moe.moe_forward`. Requires torch (CPU) for deserialization."""
+    `models.moe.moe_forward`. Requires torch (CPU) for deserialization.
+
+    cfg=None infers (n_kernels, n_channels) from the checkpoint's bank
+    instead of validating against an expected config."""
     import jax.numpy as jnp
     import torch
 
@@ -63,7 +66,7 @@ def load_moe_torch_checkpoint(
     state = {"selector": {"bn_mean": bn_mean, "bn_var": bn_var}}
 
     k, c = params["kernel_bank"].shape[:2]
-    if (k, c) != (cfg.n_kernels, cfg.n_channels):
+    if cfg is not None and (k, c) != (cfg.n_kernels, cfg.n_channels):
         raise ValueError(
             f"checkpoint banks are [{k},{c}], config expects "
             f"[{cfg.n_kernels},{cfg.n_channels}]"
