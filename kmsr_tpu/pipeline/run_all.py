@@ -50,7 +50,8 @@ DEFAULT_CONFIG: dict = {
             "enabled": True,
             "iters": 10000,
             "batch_size": 16,
-            "lr_crop_size": 32,
+            # lr_crop_size: each trainer CLI defaults it (single: 32;
+            # dynamic/moe: derived from patch size / factor)
         },
         "factory": {"enabled": True, "factor": 8, "seed": 42},
         "check_shapes": {"enabled": True},

@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     p.add_argument("--factor", type=int, default=4)
     p.add_argument("--temp-start", type=float, default=5.0)
     p.add_argument("--temp-end", type=float, default=0.5)
+    p.add_argument("--lr-crop-size", type=int, default=None,
+                   help="real-LR crop size (default: patch size / factor; "
+                        "accepted for orchestrator flag uniformity)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="K>1 fuses K steps into one on-device lax.scan dispatch")
@@ -57,7 +60,7 @@ def main(argv=None) -> int:
         lr_rate=a.lr,
         temp_start=a.temp_start,
         temp_end=a.temp_end,
-        lr_crop_size=hr_size // a.factor,
+        lr_crop_size=a.lr_crop_size or hr_size // a.factor,
         model=MoEConfig(
             n_kernels=a.n_kernels, kernel_size=a.kernel_size, factor=a.factor
         ),

@@ -82,3 +82,25 @@ def test_run_all_rejects_bad_trainer(tmp_path, scenes):
     cfg["trainer"] = "bogus"
     with pytest.raises(ValueError):
         run_pipeline(cfg)
+
+
+def test_run_all_moe_trainer_content_adaptive_factory(tmp_path, scenes):
+    """trainer='moe' routes the fused factory through --moe (selector-
+    routed expert kernels) instead of a single kernel artifact."""
+    cfg = tiny_config(tmp_path, scenes)
+    cfg["trainer"] = "moe"
+    cfg["stages"]["train_kernel"] = {
+        "iters": 2, "batch_size": 2, "n_kernels": 3, "factor": 4,
+        "format": "nc",
+    }
+    cfg["stages"]["factory"] = {"factor": 8}
+    timings = run_pipeline(cfg)
+    assert "factory" in timings and "analyze" not in timings
+    run = tmp_path / "run"
+    assert (run / "kernel_run" / "moe_model.npz").exists()
+    assert (run / "kernel_run" / "moe_state.npz").exists()
+    pairs = [p for p in os.listdir(run / "train_pairs") if p.endswith(".nc")]
+    assert pairs
+    # every pair carries its expert-selection provenance
+    with NCFile(str(run / "train_pairs" / pairs[0]), "r") as f:
+        assert 0 <= int(f.get_attrs(group="lr")["moe_expert"]) < 3
