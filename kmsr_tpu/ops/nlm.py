@@ -23,7 +23,12 @@ Evaluated and rejected: (a) exploiting w(p, p+t) = w(p+t, p) symmetry to
 halve the box/exp work — the extended weight domain and extra dynamic
 slices exactly cancel the savings on TPU (measured 47.8 -> 47.8 Mpix/s);
 (b) a VMEM-resident Pallas kernel — the XLA sweep is already near its
-VPU-compute roof, leaving < 2x headroom for substantial Mosaic complexity.
+VPU-compute roof, leaving < 2x headroom for substantial Mosaic complexity;
+(c) batch-in-lanes layout ([H, W, B] with images in lanes, the layout
+that won 3.9x for the degrade kernel) — it wins only at lane-full
+batches (38 vs 17 Mpix/s at B=128) but loses badly at partial lanes
+(12 vs 48 Mpix/s at B=40), and chunking the batch to ~40 images in the
+current leading-batch layout beats its best case anyway (v5e, 256^2).
 """
 from __future__ import annotations
 
