@@ -36,7 +36,7 @@ python -m kmsr_tpu.pipeline.noise_pool_cli --input-dir denoised \
     --output-file pool.npy --patch-size 8 --samples-per-file 2 --seed 42
 python -m kmsr_tpu.pipeline.train_single_kernel_cli --patch-dir denoised \
     --outdir gan_run --iters 100 --batch-size 8 --lr-crop-size 8 \
-    --log-every 100 --kernel-log-every 100
+    --log-every 100 --kernel-log-every 100 --fast-forward
 python -m kmsr_tpu.pipeline.factory --input-dir denoised \
     --kernel gan_run/kernel_per_band.npy --noise-pool pool.npy \
     --output-dir train_pairs --factor 8 --seed 42
@@ -46,6 +46,13 @@ python -m kmsr_tpu.pipeline.train_sr_cli --train-dir train_pairs --outdir sr_run
 python -m kmsr_tpu.pipeline.sr_infer --input-dir train_pairs \
     --model sr_run/sr_model.npz --output-dir sr_out --factor 8 \
     --width 16 --n-blocks 2 --upsampler oneshot
+# whole-scene SR serving: tile + reassemble, equal to the untiled forward
+python -m kmsr_tpu.pipeline.sr_scene --input scenes/s0.nc \
+    --in-group geophysical_data --model sr_run/sr_model.npz \
+    --output-dir sr_scenes --factor 8 --width 16 --n-blocks 2 \
+    --upsampler oneshot --tile 64
 python -m kmsr_tpu.analysis.log_analyzer gan_run/training_log.txt
+# RGB quicklooks of the cut patches (parity: visualize_all_patches.py)
+python -m kmsr_tpu.analysis.viz_cli rgb patches --output-dir patch_rgb
 
-echo "done: SR outputs in $WORK/sr_out"
+echo "done: SR patch outputs in $WORK/sr_out, scene SR in $WORK/sr_scenes"
