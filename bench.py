@@ -28,17 +28,24 @@ def main() -> int:
     rng = np.random.default_rng(0)
     kernel = jnp.asarray(rng.uniform(0, 1, (5, 13, 13)).astype(np.float32))
 
-    if jax.default_backend() == "tpu":
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
         # production path: the pad-free fused Mosaic kernel on the factory
-        # CHWB layout (batch in lanes) — ~3.5M patches/s on one v5e
+        # CHWB layout (batch in lanes) — ~3.7M patches/s on one v5e
         from kmsr_tpu.ops.degrade_pallas import degrade_pallas_chwb
 
         x = jnp.asarray(
             rng.normal(5.0, 2.0, (5, 64, 64, batch)).astype(np.float32)
         )
         fn = jax.jit(lambda a, k: degrade_pallas_chwb(a, k, factor=8))
-    else:
-        # CPU hosts: the XLA strided-conv path (Mosaic needs a TPU)
+        try:
+            jnp.sum(fn(x, kernel)).block_until_ready()
+        except Exception as e:  # Mosaic unavailable -> still record a number
+            print(f"pallas path failed ({type(e).__name__}); "
+                  "falling back to XLA", file=sys.stderr)
+            use_pallas = False
+    if not use_pallas:
+        # CPU hosts / Mosaic failure: the XLA strided-conv path
         from kmsr_tpu.ops import degrade_fused
 
         x = jnp.asarray(
