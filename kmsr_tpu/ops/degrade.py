@@ -154,11 +154,11 @@ def degrade_strided(
         kernel = jnp.broadcast_to(kernel[None], (c, *kernel.shape))
     if normalize:
         kernel = normalize_kernel(kernel)
-    kh = kernel.shape[-1]
+    kh, kw = kernel.shape[-2], kernel.shape[-1]
     comp = compose_with_box(kernel, factor)  # [C, kh+f-1, kw+f-1]
-    # Padding bookkeeping: unfused path pads kh//2, convs VALID (out H),
-    # then block-means. Composed: pad kh//2, conv size (kh+f-1) stride f.
-    x = replicate_pad(img, kh // 2, kh // 2)
+    # Padding bookkeeping: unfused path pads (kh//2, kw//2), convs VALID
+    # (out H), then block-means. Composed: same pad, conv (kh+f-1) stride f.
+    x = replicate_pad(img, kh // 2, kw // 2)
     out = depthwise_conv2d(x, comp, stride=factor)
     return out[0] if squeeze else out
 

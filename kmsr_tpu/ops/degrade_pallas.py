@@ -227,8 +227,15 @@ def degrade_pallas_chwb(
     composed kernel span fits 3*factor, else v2.
     """
     c, h, w, b = x.shape
-    assert h % factor == 0 and w % factor == 0, (h, w, factor)
-    assert b % batch_tile == 0, (b, batch_tile)
+    if h % factor or w % factor:
+        raise ValueError(f"H, W must be multiples of factor: {(h, w, factor)}")
+    if b % batch_tile:
+        raise ValueError(f"batch {b} must be a multiple of batch_tile {batch_tile}")
+    if kernel.shape[-1] != kernel.shape[-2]:
+        raise ValueError(
+            f"the fused kernels assume square blur kernels, got "
+            f"{kernel.shape[-2]}x{kernel.shape[-1]} (use ops.degrade instead)"
+        )
     comp = compose_with_box(normalize_kernel(kernel), factor)  # [C, K, K]
     ksize = comp.shape[-1]
     kside = (-(-ksize // factor)) * factor  # tap lattice side (zero-padded)

@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the batch over all devices")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of the run")
+    p.add_argument("--real-lr-dir", default=None,
+                   help="separate pool for the real-LR side (crops are "
+                        "taken from it instead of from --patch-dir)")
+    p.add_argument("--real-is-lr", action="store_true",
+                   help="use --real-lr-dir patches AS-IS as native LR "
+                        "(no cropping); they must be lr-crop-size sized")
     return p
 
 
@@ -103,10 +109,20 @@ def main(argv=None) -> int:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(axis_names=("data",))
+    if a.real_is_lr and not a.real_lr_dir:
+        raise SystemExit("--real-is-lr requires --real-lr-dir")
+    lr_pool = (
+        PatchPool.from_nc_dir(a.real_lr_dir, group=a.group)
+        if a.real_lr_dir else None
+    )
+    if a.real_is_lr:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, real_is_lr=True)
     from .common import maybe_trace
 
     with maybe_trace(a.trace):
-        out = train_single_kernel(pool, cfg, mesh=mesh)
+        out = train_single_kernel(pool, cfg, mesh=mesh, lr_pool=lr_pool)
     print(
         f"saved kernel_per_band.npy {out['kernel_per_band'].shape}, "
         f"kernel_merged.npy sum={out['kernel_merged'].sum():.6f}"

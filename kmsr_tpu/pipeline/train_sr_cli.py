@@ -41,6 +41,10 @@ def main(argv=None) -> int:
         help="progressive: x2 shuffle stages (quality); oneshot: single LR-space shuffle (speed)",
     )
     p.add_argument("--f32", action="store_true", help="train in f32 instead of bf16")
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help="orbax checkpoint interval (0 = off)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in OUTDIR/ckpt")
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--trace", default=None, metavar="DIR",
@@ -56,6 +60,8 @@ def main(argv=None) -> int:
             width=a.width, n_blocks=a.n_blocks, factor=a.factor, upsampler=a.upsampler
         ),
         compute_dtype="float32" if a.f32 else "bfloat16",
+        ckpt_every=a.ckpt_every,
+        resume=a.resume,
         outdir=a.outdir,
         seed=a.seed,
     )

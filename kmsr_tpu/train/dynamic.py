@@ -42,7 +42,7 @@ from ..models.dynamic import (
     extract_dynamic_kernels,
     init_degradation_model,
 )
-from .single_kernel import LOG_HEADER, random_crops
+from .single_kernel import random_crops
 from .state import GANTrainState, init_gan_state, make_gan_optimizers
 
 TARGET_SIGMA = (0.55, 0.72, 0.83, 0.63, 0.19)
@@ -167,21 +167,17 @@ def make_dynamic_train_step(
     return jax.jit(step, donate_argnums=(0,)), (g_tx, d_tx)
 
 
+# The dynamic trainer's 4th logged metric is the NOISE regularizer, not a
+# weighted kernel reg — its header must say so (the analyzer parses columns
+# by name, so reusing the single-kernel header would silently mislabel it)
+DYN_LOG_HEADER = "Iteration,Loss_D,Loss_G_adv,Loss_Reg,Loss_Noise_Reg\n"
+_DYN_LOG_KEYS = ("loss_D", "loss_G_adv", "loss_reg", "loss_noise_reg")
+
+
 def _format_dyn_rows(rows: list) -> list[str]:
-    """[(first_iter, device-metrics)] -> CSV lines; metrics may be per-step
-    scalars or K-stacked scan outputs (one host sync per flush)."""
-    out = []
-    for i0, m in rows:
-        cols = [
-            np.atleast_1d(np.asarray(m[k]))
-            for k in ("loss_D", "loss_G_adv", "loss_reg", "loss_noise_reg")
-        ]
-        for j in range(cols[0].shape[0]):
-            out.append(
-                f"{i0 + j},{cols[0][j]:.6f},{cols[1][j]:.6f},"
-                f"{cols[2][j]:.6f},{cols[3][j]:.6f}\n"
-            )
-    return out
+    from .single_kernel import _format_rows
+
+    return _format_rows(rows, keys=_DYN_LOG_KEYS)
 
 
 def init_dynamic_training(cfg: DynamicTrainConfig) -> GANTrainState:
@@ -248,7 +244,7 @@ def train_dynamic(
                 print(f"resumed from checkpoint step {last}")
     if start_iter == 0:
         with open(log_file, "w", encoding="utf-8") as f:
-            f.write(LOG_HEADER)
+            f.write(DYN_LOG_HEADER)
 
     if mesh is not None:
         from ..parallel.mesh import batch_sharding, replicated
@@ -350,6 +346,11 @@ def bulk_extract_kernels(
     """Extract one per-patch kernel for every pool entry -> kernel_<i>.npy
     (parity: `muti_kernel/train.py:118-188`)."""
     os.makedirs(out_dir, exist_ok=True)
+    if not hasattr(pool, "patches"):
+        raise ValueError(
+            "bulk_extract_kernels needs an in-memory PatchPool (streaming "
+            "pools expose sampling only, not positional iteration)"
+        )
     paths = []
     n = len(pool)
     for start in range(0, n, batch_size):

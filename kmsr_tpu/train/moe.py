@@ -176,6 +176,13 @@ def init_moe_training(
             from ..utils.params_io import load_params
 
             moe_params = load_params(init_from, moe_params)
+            # restore the selector's BN running stats saved alongside the
+            # weights (the torch path carries them in the state_dict)
+            state_path = os.path.join(
+                os.path.dirname(init_from), "moe_state.npz"
+            )
+            if os.path.exists(state_path):
+                moe_state = load_params(state_path, moe_state)
     d_params, disc_state = init_discriminator(k_d, cfg.discriminator)
     g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=None)
     d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=None)

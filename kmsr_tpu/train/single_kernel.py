@@ -49,21 +49,18 @@ from ..analysis.kernel_metrics import ascii_kernel, kernel_delta_l2, kernel_metr
 from .state import GANTrainState, init_gan_state, make_gan_optimizers
 
 LOG_HEADER = "Iteration,Loss_D,Loss_G_adv,Loss_Reg,Loss_Reg_weighted\n"
+_LOG_KEYS = ("loss_D", "loss_G_adv", "loss_reg", "loss_reg_weighted")
 
 
-def _format_rows(rows: list) -> list[str]:
+def _format_rows(rows: list, keys: tuple = _LOG_KEYS) -> list[str]:
     """[(first_iter, device-metrics)] -> CSV lines; metrics may be per-step
     scalars or K-stacked scan outputs (single host sync per flush)."""
     out = []
     for i0, m in rows:
-        cols = [
-            np.atleast_1d(np.asarray(m[k]))
-            for k in ("loss_D", "loss_G_adv", "loss_reg", "loss_reg_weighted")
-        ]
+        cols = [np.atleast_1d(np.asarray(m[k])) for k in keys]
         for j in range(cols[0].shape[0]):
             out.append(
-                f"{i0 + j},{cols[0][j]:.6f},{cols[1][j]:.6f},"
-                f"{cols[2][j]:.6f},{cols[3][j]:.6f}\n"
+                f"{i0 + j}," + ",".join(f"{c[j]:.6f}" for c in cols) + "\n"
             )
     return out
 
@@ -241,14 +238,37 @@ def train_single_kernel(
     cfg: SingleKernelConfig = SingleKernelConfig(),
     mesh=None,
     progress: bool = True,
+    lr_pool: PatchPool | None = None,
 ) -> dict:
     """Run the full single-kernel KernelGAN loop over a patch pool.
+
+    lr_pool optionally supplies the real-LR side from a SEPARATE pool
+    (with cfg.real_is_lr, its patches are used as-is at lr_crop_size;
+    without it, random crops are taken from it instead of from `pool`).
 
     Returns {"kernel_per_band": [C,13,13], "kernel_merged": [13,13],
     "state": final GANTrainState, "log_file": path}.
     """
     os.makedirs(cfg.outdir, exist_ok=True)
     log_file = os.path.join(cfg.outdir, "training_log.txt")
+
+    if cfg.real_is_lr:
+        if lr_pool is None:
+            raise ValueError(
+                "real_is_lr=True needs lr_pool (a pool of native-LR patches "
+                f"at lr_crop_size={cfg.lr_crop_size}); without it the 'real' "
+                "side would be full HR patches from `pool`"
+            )
+        if lr_pool.shape[-1] != cfg.lr_crop_size:
+            raise ValueError(
+                f"real_is_lr=True needs lr_pool patches at lr_crop_size="
+                f"{cfg.lr_crop_size}, got {lr_pool.shape[-1]}"
+            )
+    if lr_pool is not None and (cfg.device_pool or cfg.steps_per_call > 1):
+        raise ValueError(
+            "lr_pool mode samples on host; incompatible with device_pool / "
+            "steps_per_call > 1"
+        )
 
     if mesh is not None and (cfg.device_pool or cfg.steps_per_call > 1):
         raise ValueError(
@@ -261,6 +281,7 @@ def train_single_kernel(
     if use_device_pool is None:
         use_device_pool = (
             mesh is None
+            and lr_pool is None
             and hasattr(pool, "patches")
             and pool.patches.nbytes <= 4 << 30
         )
@@ -288,10 +309,12 @@ def train_single_kernel(
             f.write(LOG_HEADER)
 
     if mesh is not None:
-        from ..parallel.mesh import batch_sharding, replicated
+        from ..parallel.mesh import replicated, shard_batch
 
         state = jax.device_put(state, replicated(mesh))
-        put_batch = functools.partial(jax.device_put, device=batch_sharding(mesh))
+        # shard_batch (not a bare device_put) so a multi-host launch
+        # assembles each host's locally-sampled rows into the global batch
+        put_batch = functools.partial(shard_batch, mesh)
     else:
         put_batch = jnp.asarray
 
@@ -339,7 +362,11 @@ def train_single_kernel(
             )
         else:
             hr = put_batch(pool.sample(host_rng, cfg.batch_size))
-            crop_src = put_batch(pool.sample(host_rng, cfg.batch_size))
+            crop_src = put_batch(
+                (lr_pool if lr_pool is not None else pool).sample(
+                    host_rng, cfg.batch_size
+                )
+            )
             state, metrics = step_fn(state, hr, crop_src)
 
         # CSV rows are buffered as DEVICE scalars and materialized only at

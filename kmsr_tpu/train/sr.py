@@ -28,6 +28,8 @@ class SRTrainConfig:
     compute_dtype: str = "bfloat16"
     log_every: int = 100
     eval_every: int = 1000
+    ckpt_every: int = 0      # orbax checkpoint interval (0 = off)
+    resume: bool = False     # resume from the latest checkpoint in outdir/ckpt
     outdir: str = "output/sr"
     device_pool: Optional[bool] = None  # keep (lr, hr) pairs in HBM and
     #   gather batches on device; auto for datasets <= 4 GB, single device
@@ -92,15 +94,33 @@ def train_sr(
     lr_all, hr_all = pairs
     assert lr_all.shape[0] == hr_all.shape[0]
     os.makedirs(cfg.outdir, exist_ok=True)
+    if mesh is not None and cfg.device_pool:
+        raise ValueError(
+            "mesh data-parallelism shards host-sampled batches and is "
+            "incompatible with device_pool (it pins the pool to ONE device)"
+        )
     step_fn, _ = make_sr_train_step(cfg)
     state = init_sr_training(cfg)
+
+    start_iter = 0
+    ckpt_dir = os.path.join(cfg.outdir, "ckpt")
+    if cfg.resume:
+        from .state import latest_checkpoint_step, restore_checkpoint
+
+        last = latest_checkpoint_step(ckpt_dir)
+        if last is not None:
+            state = restore_checkpoint(ckpt_dir, last, state)
+            start_iter = last
+            if progress:
+                print(f"resumed from checkpoint step {last}")
+
     if mesh is not None:
         from ..parallel.mesh import replicated
 
         state = jax.device_put(state, replicated(mesh))
-    host_rng = np.random.default_rng(cfg.seed)
+    host_rng = np.random.default_rng(cfg.seed + start_iter)
     log = []
-    iterator = range(cfg.iters)
+    iterator = range(start_iter, cfg.iters)
     if progress:
         try:
             from tqdm import tqdm
@@ -137,6 +157,10 @@ def train_sr(
             ev = evaluate_sr(state.params, lr_all[idx], hr_all[idx], cfg.model)
             if progress:
                 print(f"  [eval iter {t+1}] psnr={ev['psnr']:.2f} ssim={ev['ssim']:.4f}")
+        if cfg.ckpt_every and (t + 1) % cfg.ckpt_every == 0:
+            from .state import save_checkpoint
+
+            save_checkpoint(ckpt_dir, state, t + 1)
     from ..utils.params_io import save_params
 
     params = jax.device_get(state.params)

@@ -81,13 +81,14 @@ def save_checkpoint(ckpt_dir: str, state: GANTrainState, step: int) -> None:
 
 
 def restore_checkpoint(ckpt_dir: str, step: int, template: GANTrainState) -> GANTrainState:
+    """Works for any dataclass train state (GANTrainState, SRTrainState)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(
         f"{ckpt_dir}/step_{step}", jax.device_get(dataclasses.asdict(template))
     )
-    return GANTrainState(**restored)
+    return type(template)(**restored)
 
 
 def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:

@@ -165,3 +165,18 @@ def test_moe_dp_mesh_matches_single_device(tmp_path, pool):
         np.asarray(out_dp["state"].g_params["kernel_bank"]),
         atol=1e-5,
     )
+
+
+def test_dynamic_log_header_names_noise_reg(tmp_path, pool):
+    """The dynamic trainer's 4th CSV column is the NOISE regularizer and
+    the header must say so (review finding: it reused the single-kernel
+    header, mislabeling the column for the log analyzer)."""
+    cfg = DynamicTrainConfig(
+        iters=2, batch_size=2, hr_patch_size=32, lr_crop_size=4,
+        log_every=2, kernel_log_every=100, outdir=str(tmp_path),
+        verbose=False, model=DynamicConfig(mid_ch=4),
+        discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+    )
+    train_dynamic(pool, cfg, progress=False)
+    header = (tmp_path / "training_log.txt").read_text().splitlines()[0]
+    assert header == "Iteration,Loss_D,Loss_G_adv,Loss_Reg,Loss_Noise_Reg"
