@@ -69,11 +69,14 @@ def init_gan_state(
 
 # ---------------------------------------------------------------- checkpointing
 def save_checkpoint(ckpt_dir: str, state: GANTrainState, step: int) -> None:
+    import os
+
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
+    # orbax requires absolute paths (a relative --outdir would raise)
     ckptr.save(
-        f"{ckpt_dir}/step_{step}",
+        os.path.abspath(f"{ckpt_dir}/step_{step}"),
         jax.device_get(dataclasses.asdict(state)),
         force=True,
     )
@@ -84,9 +87,12 @@ def restore_checkpoint(ckpt_dir: str, step: int, template: GANTrainState) -> GAN
     """Works for any dataclass train state (GANTrainState, SRTrainState)."""
     import orbax.checkpoint as ocp
 
+    import os
+
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(
-        f"{ckpt_dir}/step_{step}", jax.device_get(dataclasses.asdict(template))
+        os.path.abspath(f"{ckpt_dir}/step_{step}"),
+        jax.device_get(dataclasses.asdict(template)),
     )
     return type(template)(**restored)
 
