@@ -36,7 +36,14 @@ from ..models.moe import (
     moe_forward,
 )
 from .single_kernel import random_crops
-from .state import GANTrainState, init_gan_state, make_gan_optimizers
+from .state import (
+    GANTrainState,
+    check_mesh_vs_scan,
+    check_scan_intervals,
+    init_gan_state,
+    make_gan_optimizers,
+    maybe_resume,
+)
 
 
 @dataclasses.dataclass
@@ -234,12 +241,7 @@ def train_moe(
     DP-sharded and XLA inserts the gradient reductions over ICI (the same
     scheme as `train_single_kernel`/`train_dynamic`)."""
     os.makedirs(cfg.outdir, exist_ok=True)
-    if mesh is not None and (cfg.device_pool or cfg.steps_per_call > 1):
-        raise ValueError(
-            "mesh data-parallelism shards host-sampled batches and is "
-            "incompatible with device_pool / steps_per_call > 1 (those keep "
-            "sampling on ONE device); drop --data-parallel or the scan knobs"
-        )
+    check_mesh_vs_scan(cfg, mesh)
     use_device_pool = cfg.device_pool
     if use_device_pool is None:
         use_device_pool = (
@@ -248,30 +250,17 @@ def train_moe(
             and pool.patches.nbytes <= 4 << 30
         )
     K = cfg.steps_per_call
-    if K > 1:
-        if not use_device_pool:
-            raise ValueError("steps_per_call > 1 requires device_pool")
-        for name, v in (
-            ("iters", cfg.iters),
-            ("log_every", cfg.log_every),
-            ("ckpt_every", cfg.ckpt_every),
-        ):
-            if v % K:
-                raise ValueError(f"{name}={v} must be a multiple of steps_per_call={K}")
+    check_scan_intervals(
+        cfg,
+        {"iters": cfg.iters, "log_every": cfg.log_every,
+         "ckpt_every": cfg.ckpt_every},
+        use_device_pool,
+    )
     step_fn, _ = make_moe_train_step(cfg, device_pool=use_device_pool)
     state = init_moe_training(cfg, init_from=init_from)
 
-    start_iter = 0
     ckpt_dir = os.path.join(cfg.outdir, "ckpt")
-    if cfg.resume:
-        from .state import latest_checkpoint_step, restore_checkpoint
-
-        last = latest_checkpoint_step(ckpt_dir)
-        if last is not None:
-            state = restore_checkpoint(ckpt_dir, last, state)
-            start_iter = last
-            if cfg.verbose:
-                print(f"resumed from checkpoint step {last}")
+    state, start_iter = maybe_resume(cfg, state, ckpt_dir, announce=cfg.verbose)
 
     if mesh is not None:
         from ..parallel.mesh import replicated
@@ -290,8 +279,6 @@ def train_moe(
     host_rng = np.random.default_rng(cfg.seed + start_iter)
 
     if K > 1:
-        if start_iter % K:
-            raise ValueError(f"resume step {start_iter} not a multiple of K={K}")
         iterator = range(start_iter + K - 1, cfg.iters, K)
     else:
         iterator = range(start_iter, cfg.iters)

@@ -46,7 +46,14 @@ from ..models.generator import (
     init_generator,
 )
 from ..analysis.kernel_metrics import ascii_kernel, kernel_delta_l2, kernel_metrics
-from .state import GANTrainState, init_gan_state, make_gan_optimizers
+from .state import (
+    GANTrainState,
+    check_mesh_vs_scan,
+    check_scan_intervals,
+    init_gan_state,
+    make_gan_optimizers,
+    maybe_resume,
+)
 
 LOG_HEADER = "Iteration,Loss_D,Loss_G_adv,Loss_Reg,Loss_Reg_weighted\n"
 _LOG_KEYS = ("loss_D", "loss_G_adv", "loss_reg", "loss_reg_weighted")
@@ -270,12 +277,7 @@ def train_single_kernel(
             "steps_per_call > 1"
         )
 
-    if mesh is not None and (cfg.device_pool or cfg.steps_per_call > 1):
-        raise ValueError(
-            "mesh data-parallelism shards host-sampled batches and is "
-            "incompatible with device_pool / steps_per_call > 1 (those keep "
-            "sampling on ONE device); drop --data-parallel or the scan knobs"
-        )
+    check_mesh_vs_scan(cfg, mesh)
     # device-resident pool: auto on for single-device in-memory pools <= 4 GB
     use_device_pool = cfg.device_pool
     if use_device_pool is None:
@@ -293,17 +295,8 @@ def train_single_kernel(
 
     # checkpoint resume (the reference has no resume path at all —
     # `muti_kernel/train.py:344-362` is commented out)
-    start_iter = 0
     ckpt_dir = os.path.join(cfg.outdir, "ckpt")
-    if cfg.resume:
-        from .state import latest_checkpoint_step, restore_checkpoint
-
-        last = latest_checkpoint_step(ckpt_dir)
-        if last is not None:
-            state = restore_checkpoint(ckpt_dir, last, state)
-            start_iter = last
-            if cfg.verbose:
-                print(f"resumed from checkpoint step {last}")
+    state, start_iter = maybe_resume(cfg, state, ckpt_dir, announce=cfg.verbose)
     if start_iter == 0:
         with open(log_file, "w", encoding="utf-8") as f:
             f.write(LOG_HEADER)
@@ -324,16 +317,14 @@ def train_single_kernel(
     pool_dev = jnp.asarray(pool.patches) if use_device_pool else None
     n_pool = len(pool)
     K = cfg.steps_per_call
+    check_scan_intervals(
+        cfg,
+        {"iters": cfg.iters, "log_every": cfg.log_every,
+         "kernel_log_every": cfg.kernel_log_every,
+         "ckpt_every": cfg.ckpt_every},
+        use_device_pool,
+    )
     if K > 1:
-        if not use_device_pool:
-            raise ValueError("steps_per_call > 1 requires device_pool")
-        for name, v in (
-            ("iters", cfg.iters), ("log_every", cfg.log_every),
-            ("kernel_log_every", cfg.kernel_log_every),
-            ("ckpt_every", cfg.ckpt_every), ("start_iter", start_iter),
-        ):
-            if v % K:
-                raise ValueError(f"{name}={v} must be a multiple of steps_per_call={K}")
         # t iterates over the LAST iteration index of each K-step chunk
         iterator = range(start_iter + K - 1, cfg.iters, K)
     else:

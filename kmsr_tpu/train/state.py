@@ -109,3 +109,46 @@ def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
         if m:
             steps.append(int(m.group(1)))
     return max(steps) if steps else None
+
+
+# -------------------------------------------------- shared trainer plumbing
+def check_mesh_vs_scan(cfg, mesh) -> None:
+    """Mesh DP shards host-sampled batches; the HBM-pool / scan-chunking
+    knobs keep sampling on ONE device — the combination is an error every
+    trainer must reject the same way."""
+    if mesh is not None and (cfg.device_pool or cfg.steps_per_call > 1):
+        raise ValueError(
+            "mesh data-parallelism shards host-sampled batches and is "
+            "incompatible with device_pool / steps_per_call > 1 (those keep "
+            "sampling on ONE device); drop --data-parallel or the scan knobs"
+        )
+
+
+def check_scan_intervals(cfg, intervals: dict, use_device_pool: bool) -> None:
+    """steps_per_call=K>1 requires the device pool and every logging /
+    checkpoint interval to be a K-multiple (they fire at chunk ends)."""
+    k = cfg.steps_per_call
+    if k <= 1:
+        return
+    if not use_device_pool:
+        raise ValueError("steps_per_call > 1 requires device_pool")
+    for name, v in intervals.items():
+        if v % k:
+            raise ValueError(f"{name}={v} must be a multiple of steps_per_call={k}")
+
+
+def maybe_resume(cfg, state, ckpt_dir: str, announce: bool = False):
+    """Restore the latest checkpoint when cfg.resume; returns
+    (state, start_iter). Validates K-alignment of the resume point."""
+    start_iter = 0
+    if cfg.resume:
+        last = latest_checkpoint_step(ckpt_dir)
+        if last is not None:
+            state = restore_checkpoint(ckpt_dir, last, state)
+            start_iter = last
+            if announce:
+                print(f"resumed from checkpoint step {last}")
+    k = getattr(cfg, "steps_per_call", 1)
+    if k > 1 and start_iter % k:
+        raise ValueError(f"resume step {start_iter} not a multiple of K={k}")
+    return state, start_iter
