@@ -1,4 +1,17 @@
-"""Sigma estimation + NLM denoise tests (numpy reference vs JAX path)."""
+"""Sigma estimation + NLM denoise tests.
+
+Three independent oracles guard the device path:
+- `nlm_denoise_np` (dense shift-lattice numpy twin),
+- `tests/helpers/nlm_bruteforce.py` (definition-level per-pixel loops,
+  structurally unrelated to the box-filter formulation),
+- recorded skimage goldens in `tests/fixtures/denoise_golden/` (generated
+  by `tests/fixtures/gen_denoise_golden.py` in a skimage-equipped
+  environment; the CI image has no skimage, so those tests skip if the
+  fixtures are absent).
+"""
+import glob
+import os
+
 import numpy as np
 import pytest
 
@@ -8,7 +21,11 @@ from kmsr_tpu.ops.nlm import (
     nlm_denoise_2d,
     nlm_denoise_np,
 )
-from kmsr_tpu.ops.sigma import estimate_sigma, estimate_sigma_np
+from kmsr_tpu.ops.sigma import _DB2_HI, _DB2_LO, estimate_sigma, estimate_sigma_np
+from tests.helpers.nlm_bruteforce import nlm_bruteforce
+
+_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "denoise_golden")
+_GOLDEN_FILES = sorted(glob.glob(os.path.join(_GOLDEN_DIR, "*.npz")))
 
 
 def test_sigma_estimates_white_noise(rng):
@@ -33,6 +50,66 @@ def test_sigma_on_noisy_structured_image(rng):
     noisy = clean + rng.normal(0, 0.2, clean.shape)
     est = estimate_sigma_np(noisy.astype(np.float32))
     assert est == pytest.approx(0.2, rel=0.25)
+
+
+def test_db2_filters_match_closed_form():
+    """The D4 (db2) decomposition filters are published constants:
+    scaling h_k = [(1+√3), (3+√3), (3−√3), (1−√3)] / (4√2), stored in
+    pywt's dec_lo order (reversed) with the QMF high-pass
+    g_k = (−1)^(k+1) h_k — the exact filters skimage's estimate_sigma
+    uses via pywt. Guards against a transcription error in sigma.py."""
+    s3, s2 = np.sqrt(3.0), 4.0 * np.sqrt(2.0)
+    h = np.array([1 + s3, 3 + s3, 3 - s3, 1 - s3]) / s2
+    dec_lo = h[::-1]
+    dec_hi = np.array([-h[0], h[1], -h[2], h[3]])
+    np.testing.assert_allclose(_DB2_LO, dec_lo, atol=1e-12)
+    np.testing.assert_allclose(_DB2_HI, dec_hi, atol=1e-12)
+    # orthonormal QMF pair: unit energy, zero mean high-pass
+    assert np.sum(dec_lo**2) == pytest.approx(1.0, abs=1e-12)
+    assert np.sum(dec_hi) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_nlm_matches_bruteforce_definition(rng):
+    """Both the numpy shift-lattice twin and the JAX path must agree with
+    the naive per-pixel NLM definition — a structurally independent oracle
+    that would expose a shared box-filter/window-alignment bug."""
+    img = rng.normal(2.0, 0.5, size=(16, 16)).astype(np.float32)
+    for ps, pd, h, sigma in [(3, 3, 0.4, 0.2), (5, 4, 0.6, 0.0)]:
+        want = nlm_bruteforce(img, h, sigma, patch_size=ps, patch_distance=pd)
+        got_np = nlm_denoise_np(img, h, sigma, patch_size=ps, patch_distance=pd)
+        got_jax = np.asarray(
+            nlm_denoise_2d(img, h, sigma, patch_size=ps, patch_distance=pd)
+        )
+        np.testing.assert_allclose(got_np, want, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(got_jax, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    not _GOLDEN_FILES,
+    reason="skimage goldens absent (generate with tests/fixtures/gen_denoise_golden.py)",
+)
+@pytest.mark.parametrize(
+    "path", _GOLDEN_FILES, ids=[os.path.basename(p) for p in _GOLDEN_FILES]
+)
+def test_against_skimage_golden(path):
+    """JAX sigma + NLM vs recorded skimage outputs (the reference's exact
+    calls, `/root/reference/denoise/denoise.py:47,55-63`)."""
+    z = np.load(path)
+    img = z["img"]
+    sig_jax = float(estimate_sigma(img))
+    assert sig_jax == pytest.approx(float(z["sigma"]), rel=1e-3)
+    den = np.asarray(
+        nlm_denoise_2d(
+            img,
+            float(z["h"]),
+            float(z["sigma"]),
+            patch_size=int(z["patch_size"]),
+            patch_distance=int(z["patch_distance"]),
+        )
+    )
+    rmse = float(np.sqrt(np.mean((den - z["denoised"]) ** 2)))
+    scale = float(np.std(img)) or 1.0
+    assert rmse / scale < 1e-3, f"RMSE vs skimage golden {rmse} (scale {scale})"
 
 
 def test_nlm_jax_matches_numpy(rng):
