@@ -69,6 +69,7 @@ def test_kernel_metrics_gaussian():
     assert kernel_delta_l2(g, g * 0.5) > 0
 
 
+@pytest.mark.slow
 def test_visualize_outputs(tmp_path, rng):
     from kmsr_tpu.analysis.visualize import (
         plot_hr_vs_degraded,

@@ -7,6 +7,7 @@ from kmsr_tpu.models import DiscriminatorConfig, GeneratorConfig
 from kmsr_tpu.train import SingleKernelConfig, train_single_kernel
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     pool = synthetic_pool(np.random.default_rng(0), n=4, size=32, blur_sigma=None)
 
@@ -156,6 +157,7 @@ def test_patch_to_rgb_values(rng):
     np.testing.assert_allclose(rgb[..., 0], expect, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_trace_flag(tmp_path, rng):
     """--trace DIR captures a jax.profiler device trace around training."""
     from kmsr_tpu.data import synthetic_pool

@@ -6,6 +6,8 @@ import pytest
 from kmsr_tpu.ops import degrade
 from kmsr_tpu.ops.degrade_pallas import degrade_pallas, degrade_pallas_chwb
 
+pytestmark = pytest.mark.slow  # >5s measured on the 1-core CI host
+
 
 @pytest.fixture
 def data(rng):

@@ -112,6 +112,7 @@ def test_against_skimage_golden(path):
     assert rmse / scale < 1e-3, f"RMSE vs skimage golden {rmse} (scale {scale})"
 
 
+@pytest.mark.slow
 def test_nlm_jax_matches_numpy(rng):
     img = rng.normal(2.0, 0.5, size=(24, 24)).astype(np.float32)
     h, sigma = 0.3, 0.2
@@ -132,6 +133,7 @@ def test_nlm_reduces_noise(rng):
     assert err_after < 0.6 * err_before
 
 
+@pytest.mark.slow
 def test_denoise_band_nan_contract(rng):
     band = rng.normal(3.0, 0.2, size=(40, 40)).astype(np.float32)
     band[:5, :5] = np.nan
@@ -147,6 +149,7 @@ def test_denoise_band_all_nan():
     assert np.isnan(den).all() and sigma == 0.0
 
 
+@pytest.mark.slow
 def test_denoise_stack_shapes(rng):
     stack = rng.normal(3.0, 0.2, size=(5, 32, 32)).astype(np.float32)
     den, sigmas = denoise_stack(stack)
@@ -154,6 +157,7 @@ def test_denoise_stack_shapes(rng):
     assert len(sigmas) == 5
 
 
+@pytest.mark.slow
 def test_denoise_batch_matches_per_stack(rng):
     """The multi-file device sweep must agree with per-stack denoising."""
     from kmsr_tpu.ops.nlm import denoise_batch
@@ -170,6 +174,7 @@ def test_denoise_batch_matches_per_stack(rng):
     assert np.isnan(den_b[1, 0, :4, :4]).all()
 
 
+@pytest.mark.slow
 def test_denoise_pipeline_stage(tmp_path, rng):
     from kmsr_tpu.io import GROUP_DENOISED, GROUP_GEO, NCFile, read_band_stack, write_band_stack
     from kmsr_tpu.pipeline.denoise_cli import main as denoise_main

@@ -31,12 +31,14 @@ def dyn_params():
     return init_dynamic_generator(jax.random.PRNGKey(0), CFG)
 
 
+@pytest.mark.slow
 def test_dynamic_forward_shape(dyn_params, rng):
     x = jnp.asarray(rng.normal(size=(2, 5, 32, 32)).astype(np.float32))
     y = dynamic_generator_forward(dyn_params, x, CFG)
     assert y.shape == (2, 5, 4, 4)
 
 
+@pytest.mark.slow
 def test_dynamic_kernels_shapes_and_normalization(dyn_params, rng):
     x = jnp.asarray(rng.normal(size=(3, 5, 32, 32)).astype(np.float32))
     ks = extract_dynamic_kernels(dyn_params, x, CFG, reduce_batch=False)
@@ -69,6 +71,7 @@ def test_dynamic_forward_consistent_with_extraction(rng):
     assert np.isfinite(y).all()
 
 
+@pytest.mark.slow
 def test_noise_estimator_contract():
     cfg = DynamicConfig(noise_init=0.3, noise_max=1.2)
     params = {"log_sigma": jnp.log(jnp.full((5,), 0.3))}
@@ -82,6 +85,7 @@ def test_noise_estimator_contract():
     assert float(jnp.std(noisy)) == pytest.approx(0.3, rel=0.15)
 
 
+@pytest.mark.slow
 def test_degradation_model_forward(rng):
     cfg = DynamicConfig(mid_ch=8)
     params = init_degradation_model(jax.random.PRNGKey(1), cfg)
@@ -93,6 +97,7 @@ def test_degradation_model_forward(rng):
 
 
 # ---------------------------------------------------------------- MoE
+@pytest.mark.slow
 def test_moe_banks():
     cfg = MoEConfig()
     params, state = init_moe(jax.random.PRNGKey(0), cfg)
@@ -124,6 +129,7 @@ def test_gumbel_hard_straight_through_gradient():
     assert np.abs(g).sum() > 0  # gradient flows through the soft path
 
 
+@pytest.mark.slow
 def test_moe_forward(rng):
     cfg = MoEConfig()
     params, state = init_moe(jax.random.PRNGKey(0), cfg)

@@ -46,6 +46,7 @@ def test_factory_stage_matches_two_stage_route(tmp_path, rng):
     assert dists.min() < 1e-4
 
 
+@pytest.mark.slow
 def test_kernelgan_learns_blur_width():
     """Real learning check (accelerator-only): "real LR" patches come from
     a KNOWN wide Gaussian degradation (sigma=4) of held-out HR; after a
@@ -109,6 +110,7 @@ def test_batch_kernels_replicate_padding_matches_single(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_factory_moe_mode(tmp_path, rng):
     """Content-adaptive factory: patches route through the trained
     selector to per-patch expert kernels; selection provenance saved."""

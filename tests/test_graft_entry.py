@@ -8,6 +8,8 @@ import pytest
 sys.path.insert(0, "/root/repo")
 import __graft_entry__ as ge  # noqa: E402
 
+pytestmark = pytest.mark.slow  # >5s measured on the 1-core CI host
+
 
 def test_entry_compiles():
     fn, args = ge.entry()

@@ -128,6 +128,7 @@ def test_generator_forward_matches_effective_kernel_blur(rng):
     np.testing.assert_allclose(y[0, :, 1:-1, 1:-1], want[0, :, 1:-1, 1:-1], rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_generator_grad_flows():
     params = init_generator(GeneratorConfig())
     x = jnp.ones((1, 5, 32, 32))
@@ -140,6 +141,7 @@ def test_generator_grad_flows():
     assert total > 0
 
 
+@pytest.mark.slow
 def test_extraction_stop_gradient_quirk():
     """Default extraction must NOT propagate gradients (reference parity)."""
     params = init_generator(GeneratorConfig())

@@ -46,6 +46,7 @@ def tiny_config(tmp_path, scenes) -> dict:
     }
 
 
+@pytest.mark.slow
 def test_run_all_dag(tmp_path, scenes):
     timings = run_pipeline(tiny_config(tmp_path, scenes))
     assert list(timings) == [
@@ -84,6 +85,7 @@ def test_run_all_rejects_bad_trainer(tmp_path, scenes):
         run_pipeline(cfg)
 
 
+@pytest.mark.slow
 def test_run_all_moe_trainer_content_adaptive_factory(tmp_path, scenes):
     """trainer='moe' routes the fused factory through --moe (selector-
     routed expert kernels) instead of a single kernel artifact."""

@@ -113,6 +113,7 @@ def test_end_to_end_scene_sampling(tmp_path, rng):
     assert np.isfinite(patches).all()
 
 
+@pytest.mark.slow
 def test_pool_from_scene_and_training(tmp_path, rng):
     """KernelGAN single-image mode: a PatchPool drawn from one scene feeds
     the standard trainer (parity+: trash/data_single_GOCI.py was the

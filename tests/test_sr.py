@@ -27,6 +27,7 @@ def test_pixel_shuffle_roundtrip(rng):
     assert y[0, 1, 1, 1] == x[0, 7, 0, 0]
 
 
+@pytest.mark.slow
 def test_sr_forward_shapes(rng):
     params = init_sr(jax.random.PRNGKey(0), CFG)
     x = jnp.asarray(rng.normal(size=(2, 5, 8, 8)).astype(np.float32))
@@ -59,6 +60,7 @@ def test_bilinear_matmul_matches_image_resize(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sr_progressive_requires_pow2_factor():
     with pytest.raises(ValueError):
         init_sr(jax.random.PRNGKey(0), SRConfig(factor=6))
@@ -89,6 +91,7 @@ def test_metrics():
     assert float(ssim(a, noisy, 1.0)) < 0.9
 
 
+@pytest.mark.slow
 def test_sr_training_reduces_loss(rng):
     from kmsr_tpu.train.sr import SRTrainConfig, init_sr_training, make_sr_train_step
 
@@ -159,6 +162,7 @@ def test_params_io_roundtrip(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_sr_checkpoint_resume(tmp_path, rng):
     """SR trainer orbax checkpoint + resume (review finding: the module
     promised checkpointing but had none)."""
@@ -181,6 +185,7 @@ def test_sr_checkpoint_resume(tmp_path, rng):
     assert int(out["state"].step) == 4
 
 
+@pytest.mark.slow
 def test_real_is_lr_requires_lr_pool(tmp_path):
     from kmsr_tpu.data import synthetic_pool
     from kmsr_tpu.models import DiscriminatorConfig, GeneratorConfig

@@ -72,6 +72,7 @@ def test_nan_footprint_restored(sr_params, rng):
     assert np.isnan(got).mean() == pytest.approx(nan_frac_in)
 
 
+@pytest.mark.slow
 def test_data_parallel_tiles(sr_params, rng):
     from kmsr_tpu.parallel import make_mesh
 

@@ -14,6 +14,8 @@ from kmsr_tpu.train.dynamic import (
 )
 from kmsr_tpu.train.moe import MoETrainConfig, train_moe
 
+pytestmark = pytest.mark.slow  # >5s measured on the 1-core CI host
+
 
 @pytest.fixture(scope="module")
 def pool():

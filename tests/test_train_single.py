@@ -43,6 +43,7 @@ def test_pool_nan_gate():
         PatchPool(bad)
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_finite(small_pool):
     cfg = tiny_cfg("/tmp/kmsr_test_out", iters=2)
     step_fn, _ = make_train_step(cfg)
@@ -63,6 +64,7 @@ def test_train_step_updates_and_finite(small_pool):
     np.testing.assert_allclose(ks.sum(axis=(1, 2)), 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_device_pool_matches_upload_path(tmp_path, small_pool):
     """HBM-resident pool gather must reproduce the per-iter upload path
     bit-for-bit (same host RNG stream, same batches)."""
@@ -77,6 +79,7 @@ def test_device_pool_matches_upload_path(tmp_path, small_pool):
     )
 
 
+@pytest.mark.slow
 def test_train_loop_artifacts(tmp_path, small_pool):
     cfg = tiny_cfg(tmp_path, iters=4)
     out = train_single_kernel(small_pool, cfg, progress=False)
@@ -94,6 +97,7 @@ def test_train_loop_artifacts(tmp_path, small_pool):
     np.testing.assert_allclose(k.sum(axis=(1, 2)), 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_step_sharded_8dev_mesh(small_pool):
     """DP over an 8-device CPU mesh: replicated params, sharded batch."""
     assert len(jax.devices()) == 8
@@ -112,6 +116,7 @@ def test_train_step_sharded_8dev_mesh(small_pool):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(small_pool):
     """The DP-sharded step must produce the same numbers as unsharded."""
     mesh = make_mesh(axis_names=("data",))
