@@ -3,17 +3,23 @@
 The reference handles large scenes only by pre-cutting patches
 (`A_00_patch_cutter_universal.py`). The TPU-native extension here degrades
 a FULL scene (e.g. 8000^2 px Landsat) sharded row-wise across the mesh's
-'data' axis: each device holds a contiguous row slab, exchanges a
-(kernel//2)-row halo with its neighbors over ICI via `lax.ppermute`, and
-runs the fused blur+downsample locally — the image analog of context/
-sequence parallelism (SURVEY.md section 5.7).
+'data' axis: each device holds a contiguous row slab, exchanges a halo
+with its neighbors over ICI via `lax.ppermute`, and runs the fused
+blur+downsample locally — the image analog of context/sequence
+parallelism (SURVEY.md section 5.7).
 
 Global edges use replicate padding so the result is bit-compatible with
 the single-device `ops.degrade` path.
+
+Two local implementations:
+- 'fast' (default): space-to-depth phase planes + the Pallas stencil
+  (`ops.degrade_scene_fast`) — ~4x the band-conv path on v5e. Its halo
+  contract is asymmetric (`slab_halo`): the top halo absorbs the blur
+  half-offset, the bottom also covers the Pallas tile-overlap sliver.
+- 'bands': the older row-band batched XLA conv (kept as fallback and
+  cross-check; see `_degrade_slab` for its layout notes).
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -25,26 +31,27 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..ops.degrade import compose_with_box, depthwise_conv2d, normalize_kernel
+from ..ops.degrade_scene_fast import degrade_slab_fast, slab_halo
 
 
-def _halo_exchange(x_local: jax.Array, halo: int, axis_name: str) -> jax.Array:
-    """x_local: [C, Hs, W] -> [C, Hs + 2*halo, W] with neighbor rows.
+def _halo_exchange(
+    x_local: jax.Array, top: int, bot: int, axis_name: str
+) -> jax.Array:
+    """x_local: [C, Hs, W] -> [C, top + Hs + bot, W] with neighbor rows.
 
     Boundary shards replicate their own edge rows (global replicate-pad
     semantics).
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    top_rows = x_local[:, :halo]        # my first rows -> previous neighbor
-    bottom_rows = x_local[:, -halo:]    # my last rows -> next neighbor
-
     down = [(i, (i + 1) % n) for i in range(n)]
     up = [(i, (i - 1) % n) for i in range(n)]
-    from_above = jax.lax.ppermute(bottom_rows, axis_name, down)
-    from_below = jax.lax.ppermute(top_rows, axis_name, up)
+    # my last `top` rows -> next device's top halo; first `bot` -> previous
+    from_above = jax.lax.ppermute(x_local[:, -top:], axis_name, down)
+    from_below = jax.lax.ppermute(x_local[:, :bot], axis_name, up)
 
-    edge_top = jnp.repeat(x_local[:, :1], halo, axis=1)
-    edge_bottom = jnp.repeat(x_local[:, -1:], halo, axis=1)
+    edge_top = jnp.repeat(x_local[:, :1], top, axis=1)
+    edge_bottom = jnp.repeat(x_local[:, -1:], bot, axis=1)
     top_pad = jnp.where(idx == 0, edge_top, from_above)
     bottom_pad = jnp.where(idx == n - 1, edge_bottom, from_below)
     return jnp.concatenate([top_pad, x_local, bottom_pad], axis=1)
@@ -56,40 +63,58 @@ def degrade_scene_sharded(
     mesh: Mesh,
     factor: int = 8,
     axis_name: str = "data",
+    impl: str = "fast",
 ) -> jax.Array:
-    """scene: [C, H, W] (H divisible by n_devices*factor) -> [C, H/f, W/f].
-
-    Row-sharded over `axis_name`; the blur halo (kernel//2 rows) rides ICI.
-    """
+    """scene: [C, H, W] (H divisible by n_devices*factor, W by factor)
+    -> [C, H/f, W/f]. Row-sharded over `axis_name`; the blur halo rides
+    ICI. impl: 'fast' | 'bands' (see module docstring)."""
     c, h, w = scene.shape
     n = mesh.shape[axis_name]
     if h % (n * factor) != 0:
         raise ValueError(f"H={h} must divide n_devices*factor={n * factor}")
+    if w % factor != 0:
+        raise ValueError(f"W={w} must be a multiple of factor={factor}")
     kernel = normalize_kernel(
         jnp.broadcast_to(kernel[None], (c, *kernel.shape))
         if kernel.ndim == 2
         else kernel
     )
     kh, kw = kernel.shape[-2:]
-    halo = kh // 2
     # Fused form: blur (*) box at stride `factor` — the full-resolution
     # blurred intermediate is never materialized (a 8192^2 scene would
     # otherwise cost an extra ~1.3 GB of HBM per band-stack plus layout
     # copies; measured OOM on one v5e chip unfused).
     comp = compose_with_box(kernel, factor)  # [C, kh+f-1, kw+f-1]
+    ksize = comp.shape[-1]
 
-    def local_fn(x_local, k_comp):
-        x_ext = _halo_exchange(x_local, halo, axis_name)  # [C, Hs+2halo, W]
-        x_ext = jnp.pad(
-            x_ext, ((0, 0), (0, 0), (kw // 2, kw // 2)), mode="edge"
-        )
-        return _degrade_slab(x_ext, k_comp, factor, ext=2 * halo)
+    if impl == "fast":
+        top, bot = slab_halo(factor, ksize)
+        if h // n < max(top, bot):
+            impl = "bands"  # slabs thinner than the halo: take the old path
+    if impl == "fast":
+        def local_fn(x_local, k_comp):
+            x_ext = _halo_exchange(x_local, top, bot, axis_name)
+            return degrade_slab_fast(x_ext, k_comp, factor)
+    elif impl == "bands":
+        halo = kh // 2
+
+        def local_fn(x_local, k_comp):
+            x_ext = _halo_exchange(x_local, halo, halo, axis_name)
+            x_ext = jnp.pad(
+                x_ext, ((0, 0), (0, 0), (kw // 2, kw // 2)), mode="edge"
+            )
+            return _degrade_slab(x_ext, k_comp, factor, ext=2 * halo)
+    else:
+        raise ValueError(f"impl must be fast|bands, got {impl!r}")
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(None, axis_name, None), P(None, None, None)),
         out_specs=P(None, axis_name, None),
+        # pallas_call outputs carry no varying-mesh-axes annotation; the
+        # out_specs above already pin the row sharding
+        check_vma=False,
     )
     return fn(scene, comp)
 
@@ -102,6 +127,8 @@ def degrade_scene_sharded(
 # transpose is ever materialized — reaches ~980 Mpix/s at 8192^2 on the
 # same chip. Band size 8 won the measured sweep (4: 955, 8: 984, 16: 860,
 # 32: 677 Mpix/s); bands also bound the conv's scratch to one band-row.
+# Superseded by the phase-plane path (ops.degrade_scene_fast) but kept as
+# the fallback for exotic kernel spans and as an independent cross-check.
 _BAND_OUT_ROWS = 8
 
 
@@ -148,6 +175,7 @@ def degrade_scene(
     mesh: Mesh | None = None,
     factor: int = 8,
     axis_name: str = "data",
+    impl: str = "fast",
 ) -> jax.Array:
     """Shape-tolerant whole-scene degrade: [C, H, W] -> [C, H//f, W//f].
 
@@ -174,5 +202,5 @@ def degrade_scene(
     if pad_rows:
         edge = jnp.repeat(scene[:, -1:], pad_rows, axis=1)
         scene = jnp.concatenate([scene, edge], axis=1)
-    out = degrade_scene_sharded(scene, kernel, mesh, factor, axis_name)
+    out = degrade_scene_sharded(scene, kernel, mesh, factor, axis_name, impl)
     return out[:, : h_keep // factor]

@@ -1,0 +1,82 @@
+"""Phase-plane scene degrade: parity with the conv path on CPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmsr_tpu.ops.degrade import (
+    compose_with_box,
+    depthwise_conv2d,
+    normalize_kernel,
+    replicate_pad,
+)
+from kmsr_tpu.ops.degrade_scene_fast import (
+    _pick_tile,
+    degrade_slab_fast,
+    extend_rows_edge,
+    phase_split,
+    slab_halo,
+)
+
+
+def _oracle(scene, kernel, factor):
+    """replicate-pad + composed strided depthwise conv (the parity spec)."""
+    comp = compose_with_box(normalize_kernel(kernel), factor)
+    kh = kernel.shape[-1]
+    xp = replicate_pad(scene[None], kh // 2, kh // 2)
+    return depthwise_conv2d(xp, comp, stride=factor)[0]
+
+
+@pytest.mark.parametrize(
+    "c,h,w,f,k",
+    [(5, 128, 96, 8, 13), (3, 64, 64, 4, 13), (2, 48, 80, 8, 7), (1, 36, 36, 3, 5)],
+)
+def test_slab_fast_xla_matches_conv(rng, c, h, w, f, k):
+    scene = jnp.asarray(rng.normal(5, 2, (c, h, w)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, (c, k, k)).astype(np.float32))
+    comp = compose_with_box(normalize_kernel(kernel), f)
+    want = _oracle(scene, kernel, f)
+    got = degrade_slab_fast(extend_rows_edge(scene, f, comp.shape[-1]), comp, f, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_slab_fast_pallas_interpret_matches_xla(rng):
+    f, k = 8, 13
+    scene = jnp.asarray(rng.normal(5, 2, (2, 128, 96)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, (2, k, k)).astype(np.float32))
+    comp = compose_with_box(normalize_kernel(kernel), f)
+    x_ext = extend_rows_edge(scene, f, comp.shape[-1])
+    want = degrade_slab_fast(x_ext, comp, f, impl="xla")
+    got = degrade_slab_fast(x_ext, comp, f, impl="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_phase_split_definition(rng):
+    x = jnp.asarray(rng.normal(size=(2, 24, 16)).astype(np.float32))
+    for strategy in ("transpose", "slices"):
+        ph = np.asarray(phase_split(x, 4, strategy))
+        xs = np.asarray(x)
+        for p in range(4):
+            for q in range(4):
+                np.testing.assert_array_equal(ph[:, p, q], xs[:, p::4, q::4])
+
+
+def test_phase_split_shape_gate():
+    with pytest.raises(ValueError):
+        phase_split(jnp.zeros((1, 30, 32)), 4)
+
+
+def test_pick_tile_rules():
+    assert _pick_tile(1024, 8) == 32
+    assert _pick_tile(64, 8) == 32
+    assert _pick_tile(8, 8) == 8
+    assert _pick_tile(12, 8) is None  # no multiple-of-8 divisor
+    assert _pick_tile(4, 8) is None
+
+
+def test_slab_halo_contract():
+    top, bot = slab_halo(8, 20)  # k=13 composed: half=6 -> nb=1, sliver=8
+    assert top == 8 and bot == 64
+    top, bot = slab_halo(4, 16)  # f=4, k=13: half=6 -> nb=2, qmax=4 -> sliver=8
+    assert top == 8 and bot == 32

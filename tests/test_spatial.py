@@ -14,6 +14,7 @@ def mesh():
     return make_mesh(axis_names=("data",))
 
 
+@pytest.mark.slow
 def test_sharded_scene_matches_single_device(mesh, rng):
     scene = jnp.asarray(rng.normal(5, 2, size=(5, 512, 128)).astype(np.float32))
     kernel = jnp.asarray(rng.uniform(0, 1, size=(5, 13, 13)).astype(np.float32))
@@ -23,6 +24,7 @@ def test_sharded_scene_matches_single_device(mesh, rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_scene_2d_kernel(mesh, rng):
     scene = jnp.asarray(rng.normal(size=(5, 256, 64)).astype(np.float32))
     kernel = jnp.asarray(rng.uniform(0, 1, size=(13, 13)).astype(np.float32))
@@ -72,3 +74,13 @@ def test_degrade_scene_cli(tmp_path, rng):
     assert lr.shape == (5, 18, 10)
     assert np.isnan(lr[:, :2, :2]).all()  # all-NaN footprints restored
     assert np.isfinite(lr[:, 3:, 3:]).all()
+
+
+def test_sharded_small_kernel_matches_single_device(mesh, rng):
+    """Fast-tier sharded parity: a small tap lattice keeps the phase
+    stencil's trace/compile cheap on the 8-device CPU mesh."""
+    scene = jnp.asarray(rng.normal(5, 2, size=(2, 96, 32)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(2, 5, 5)).astype(np.float32))
+    want = np.asarray(degrade(scene, kernel, factor=4))
+    got = np.asarray(degrade_scene_sharded(scene, kernel, mesh, factor=4))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
