@@ -7,9 +7,15 @@ single JSON config: every stage keeps its own CLI (and flag names), the
 orchestrator just sequences them over a shared workdir with per-stage
 timing and fail-fast accounting.
 
-    cut -> denoise -> noise_pool -> train_kernel(single|dynamic|moe)
+    [calibrate] -> cut -> denoise -> noise_pool
+        -> train_kernel(single|dynamic|moe)
         -> factory (fused C_30+E_) | apply_kernel + make_train_data
         -> check_shapes -> [sr_train -> sr_infer] -> analyze
+
+    The optional calibrate stage covers the head of the reference DAG
+    (`A_00Landsat_cal_rad.py:195-209`): set `landsat_root` to a directory
+    of raw Landsat C2 L1 scene dirs (GeoTIFF+MTL) and enable it, and one
+    config drives TIF+MTL all the way to SR training pairs.
 
 Usage:
     python -m kmsr_tpu.pipeline.run_all --write-config pipeline.json
@@ -30,9 +36,15 @@ import time
 DEFAULT_CONFIG: dict = {
     "workdir": "kmsr_run",
     "input_dir": "scenes",  # calibrated 5-band .nc scenes (geophysical_data)
+    "landsat_root": None,  # raw Landsat C2 L1 scene dirs; used by calibrate
     "trainer": "single",  # single | dynamic | moe
     "use_fused_factory": True,  # one device pass (C_30+E_); else apply+make
     "stages": {
+        "calibrate": {
+            "enabled": False,  # on: TIF+MTL under landsat_root -> workdir
+            "mode": "rad",
+            "bands": [1, 2, 3, 4, 5],
+        },
         "cut": {
             "enabled": True,
             "patch_size": 256,
@@ -72,7 +84,8 @@ DEFAULT_CONFIG: dict = {
 
 
 def _argv(options: dict, **extra) -> list[str]:
-    """Stage config block -> CLI argv (skips 'enabled'; bools are flags)."""
+    """Stage config block -> CLI argv (skips 'enabled'; bools are flags;
+    lists become nargs-style multi-token values)."""
     out = []
     merged = {**options, **extra}
     merged.pop("enabled", None)
@@ -81,6 +94,8 @@ def _argv(options: dict, **extra) -> list[str]:
         if isinstance(val, bool):
             if val:
                 out.append(flag)
+        elif isinstance(val, (list, tuple)):
+            out += [flag, *[str(v) for v in val]]
         else:
             out += [flag, str(val)]
     return out
@@ -97,6 +112,7 @@ def run_pipeline(config: dict, from_stage: str | None = None,
     work = cfg["workdir"]
     os.makedirs(work, exist_ok=True)
     paths = {
+        "calibrated": os.path.join(work, "calibrated"),
         "patches": os.path.join(work, "patches"),
         "denoised": os.path.join(work, "denoised"),
         "pool": os.path.join(work, "noise_pool.npy"),
@@ -116,13 +132,20 @@ def run_pipeline(config: dict, from_stage: str | None = None,
          "moe": "kernel_0.npy"}[trainer],
     )
     s = cfg["stages"]
+    # when the calibrate head-stage runs, downstream stages consume its
+    # output scenes instead of cfg["input_dir"]
+    if s["calibrate"]["enabled"] and not cfg.get("landsat_root"):
+        raise ValueError("calibrate stage enabled but landsat_root not set")
+    scenes_dir = (
+        paths["calibrated"] if s["calibrate"]["enabled"] else cfg["input_dir"]
+    )
 
     def stage_list():
         from . import (  # local imports: each stage pulls jax lazily
-            check_shapes, cut, denoise_cli, factory, make_train_data,
-            noise_pool_cli, sr_infer, sr_scene, train_dynamic_cli,
-            train_moe_cli, train_single_kernel_cli, train_sr_cli,
-            apply_kernel,
+            calibrate_landsat, check_shapes, cut, denoise_cli, factory,
+            make_train_data, noise_pool_cli, sr_infer, sr_scene,
+            train_dynamic_cli, train_moe_cli, train_single_kernel_cli,
+            train_sr_cli, apply_kernel,
         )
         from ..analysis import log_analyzer
 
@@ -132,8 +155,11 @@ def run_pipeline(config: dict, from_stage: str | None = None,
             "moe": train_moe_cli.main,
         }[trainer]
         steps = [
+            ("calibrate", calibrate_landsat.main, _argv(
+                s["calibrate"], root=cfg.get("landsat_root") or "",
+                out_dir=paths["calibrated"])),
             ("cut", cut.main, _argv(
-                s["cut"], input_dir=cfg["input_dir"], output_dir=paths["patches"])),
+                s["cut"], input_dir=scenes_dir, output_dir=paths["patches"])),
             ("denoise", denoise_cli.main, ["--batch", paths["patches"]] + _argv(
                 s["denoise"], output=paths["denoised"])),
             ("noise_pool", noise_pool_cli.main, _argv(
@@ -180,7 +206,7 @@ def run_pipeline(config: dict, from_stage: str | None = None,
             n_blocks=s["sr_train"].get("n_blocks", 4),
             upsampler=s["sr_train"].get("upsampler", "oneshot"))))
         steps.append(("sr_scene", sr_scene.main, _argv(
-            s["sr_scene"], input=cfg["input_dir"],
+            s["sr_scene"], input=scenes_dir,
             model=os.path.join(paths["sr"], "sr_model.npz"),
             output_dir=os.path.join(work, "sr_scenes"),
             factor=s["factory"].get("factor", 8),
@@ -192,6 +218,7 @@ def run_pipeline(config: dict, from_stage: str | None = None,
         return steps
 
     enabled = {
+        "calibrate": s["calibrate"]["enabled"],
         "cut": s["cut"]["enabled"],
         "denoise": s["denoise"]["enabled"],
         "noise_pool": s["noise_pool"]["enabled"],

@@ -106,3 +106,34 @@ def test_run_all_moe_trainer_content_adaptive_factory(tmp_path, scenes):
     # every pair carries its expert-selection provenance
     with NCFile(str(run / "train_pairs" / pairs[0]), "r") as f:
         assert 0 <= int(f.get_attrs(group="lr")["moe_expert"]) < 3
+
+
+@pytest.mark.slow
+def test_run_all_calibrate_head_stage(tmp_path, rng):
+    """One config drives raw TIF+MTL -> TOA .nc -> patches -> kernel ->
+    train pairs (the reference DAG's head, `A_00Landsat_cal_rad.py:195-209`,
+    folded into the orchestrator)."""
+    from tests.helpers.landsat_fixtures import make_landsat_scene
+
+    root = tmp_path / "landsat"
+    root.mkdir()
+    make_landsat_scene(root / "LC08_L1TP_syn1", rng, shape=(48, 64))
+
+    cfg = tiny_config(tmp_path, scenes="IGNORED")
+    cfg["landsat_root"] = str(root)
+    cfg["stages"]["calibrate"] = {"enabled": True, "mode": "rad"}
+    timings = run_pipeline(cfg)
+    assert list(timings)[:2] == ["calibrate", "cut"]
+    run = tmp_path / "run"
+    cal = [p for p in os.listdir(run / "calibrated") if p.endswith(".nc")]
+    assert len(cal) == 1 and "TOA_RAD" in cal[0]
+    assert (run / "kernel_run" / "kernel_per_band.npy").exists()
+    pairs = [p for p in os.listdir(run / "train_pairs") if p.endswith(".nc")]
+    assert pairs
+
+
+def test_run_all_calibrate_requires_root(tmp_path, scenes):
+    cfg = tiny_config(tmp_path, scenes)
+    cfg["stages"]["calibrate"] = {"enabled": True}
+    with pytest.raises(ValueError, match="landsat_root"):
+        run_pipeline(cfg)
