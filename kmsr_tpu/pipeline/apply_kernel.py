@@ -47,7 +47,7 @@ def load_kernel(kernel_path: str, n_bands: int = 5) -> np.ndarray:
 
 def apply_kernel_to_folder(
     input_dir: str,
-    kernel_path: str,
+    kernel_path: str | None,
     output_dir: str,
     factor: int = 8,
     in_group: str = GROUP_DENOISED,
@@ -56,12 +56,54 @@ def apply_kernel_to_folder(
     batch_size: int = 64,
     in_place: bool = False,
     progress: bool = True,
+    moe_path: str | None = None,
 ) -> RunReport:
-    """Degrade every patch file; write `out_group` into a copy (or in place)."""
+    """Degrade every patch file; write `out_group` into a copy (or in place).
+
+    moe_path switches to content-adaptive routing: each patch is routed
+    by the trained SelectorNet to its expert kernel and blurred with THAT
+    kernel (same behavior and `moe_expert` provenance attr as the fused
+    factory's --moe mode), instead of the reference C_31 semantics of
+    collapsing batch kernels to their mean. The two routes (this stage +
+    make_train_data vs the fused factory) then produce the same data."""
     import time
 
+    import jax
+
     t0 = time.time()
-    kernel = jnp.asarray(load_kernel(kernel_path))
+    if (moe_path is None) == (kernel_path is None):
+        raise ValueError("exactly one of kernel_path / moe_path is required")
+    if moe_path is None:
+        kernel = jnp.asarray(load_kernel(kernel_path))
+        fn = jax.jit(
+            lambda b: (
+                degrade_strided(b, kernel, factor=factor),
+                jnp.full((b.shape[0],), -1, jnp.int32),
+            )
+        )
+        kernel_src = os.path.basename(kernel_path)
+    else:
+        from ..models.moe import effective_kernels, selector_forward
+        from ..ops.degrade import degrade_batch_kernels
+        from .factory import load_moe_for_factory
+
+        m_params, m_state, eval_mode = load_moe_for_factory(moe_path)
+        banks = effective_kernels(m_params)  # [K, C, kh, kw]
+
+        def moe_fn(b):
+            logits, _ = selector_forward(
+                m_params["selector"], m_state["selector"], b,
+                train=not eval_mode,
+            )
+            experts = jnp.argmax(logits, axis=-1)  # [B]
+            bk = jnp.take(banks, experts, axis=0)  # [B, C, kh, kw]
+            out = degrade_batch_kernels(
+                b, bk, factor=factor, decimate=False, padding="replicate"
+            )
+            return out, experts
+
+        fn = jax.jit(moe_fn)
+        kernel_src = os.path.basename(os.path.normpath(moe_path))
     files = list_patch_files(input_dir, "*.nc")
     os.makedirs(output_dir, exist_ok=True)
 
@@ -85,8 +127,10 @@ def apply_kernel_to_folder(
         if not stacks:
             continue
         batch = jnp.asarray(np.stack(stacks, axis=0))
-        degraded = np.asarray(degrade_strided(batch, kernel, factor=factor))
-        for path, lr in zip(valid, degraded):
+        degraded_dev, experts_dev = fn(batch)
+        degraded = np.asarray(degraded_dev)
+        experts = np.asarray(experts_dev)
+        for path, lr, expert in zip(valid, degraded, experts):
             try:
                 base = os.path.splitext(os.path.basename(path))[0]
                 if in_place:
@@ -103,7 +147,8 @@ def apply_kernel_to_folder(
                     var_attrs={"units": RADIANCE_UNITS},
                     group_attrs={
                         "history": f"blur kernel applied, {factor}x downsampled",
-                        "kernel_file": os.path.basename(kernel_path),
+                        "kernel_file": kernel_src,
+                        **({"moe_expert": int(expert)} if moe_path else {}),
                     },
                 )
                 ok.append(out_path)
@@ -117,7 +162,9 @@ def apply_kernel_to_folder(
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Apply blur kernel + downsample")
     p.add_argument("--input-dir", required=True)
-    p.add_argument("--kernel", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--kernel", help="kernel .npy ([kH,kW], [C,kH,kW] or [B,C,kH,kW] batch-mean)")
+    src.add_argument("--moe", help="content-adaptive mode: MoE model dir / .npz / reference .pth")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--factor", type=int, default=8)
     p.add_argument("--in-group", default=GROUP_DENOISED)
@@ -140,6 +187,7 @@ def main(argv=None) -> int:
         suffix=a.suffix,
         batch_size=a.batch_size,
         in_place=a.in_place,
+        moe_path=a.moe,
     )
     return 0 if report.n_fail == 0 else 1
 

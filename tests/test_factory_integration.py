@@ -167,3 +167,61 @@ def test_factory_moe_mode(tmp_path, rng):
     ])
     assert rc == 0
     assert len(list((tmp_path / "out_sigma").glob("*_train.nc"))) == 4
+
+
+@pytest.mark.slow
+def test_apply_kernel_moe_matches_factory(tmp_path, rng):
+    """The two-stage route (apply_kernel --moe, no noise yet) must produce
+    the same content-adaptively blurred data and expert provenance as the
+    fused factory --moe with a zero noise pool — closing the round-1 gap
+    where only the factory had selector routing (NOTES_r1 #3)."""
+    from kmsr_tpu.data import synthetic_pool
+    from kmsr_tpu.io.ncio import NCFile
+    from kmsr_tpu.models.discriminator import DiscriminatorConfig
+    from kmsr_tpu.models.moe import MoEConfig
+    from kmsr_tpu.pipeline.apply_kernel import main as apply_main
+    from kmsr_tpu.pipeline.factory import main as factory_main
+    from kmsr_tpu.train.moe import MoETrainConfig, train_moe
+
+    pool = synthetic_pool(rng, n=6, size=32, blur_sigma=None)
+    moe_dir = tmp_path / "moe"
+    cfg = MoETrainConfig(
+        iters=2, batch_size=2, hr_patch_size=32, lr_crop_size=8,
+        log_every=2, outdir=str(moe_dir), verbose=False,
+        model=MoEConfig(n_kernels=3),
+        discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+    )
+    train_moe(pool, cfg, progress=False)
+
+    pdir = tmp_path / "patches"
+    pdir.mkdir()
+    for i in range(4):
+        write_band_stack(pdir / f"p{i}.nc", GROUP_DENOISED, pool.patches[i],
+                         mode="w")
+    np.save(tmp_path / "zero_pool.npy", np.zeros((4, 5, 8, 8), np.float32))
+
+    rc = apply_main([
+        "--input-dir", str(pdir), "--moe", str(moe_dir),
+        "--output-dir", str(tmp_path / "blurred"), "--factor", "4",
+        "--batch-size", "4",
+    ])
+    assert rc == 0
+    rc = factory_main([
+        "--input-dir", str(pdir), "--moe", str(moe_dir),
+        "--noise-pool", str(tmp_path / "zero_pool.npy"),
+        "--output-dir", str(tmp_path / "fused"), "--factor", "4",
+        "--batch-size", "4",
+    ])
+    assert rc == 0
+
+    for i in range(4):
+        two_stage = read_band_stack(
+            str(tmp_path / "blurred" / f"p{i}_blurred.nc"), "blurred"
+        )
+        fused = read_band_stack(str(tmp_path / "fused" / f"p{i}_train.nc"), GROUP_LR)
+        np.testing.assert_allclose(two_stage, fused, rtol=1e-5, atol=1e-6)
+        with NCFile(str(tmp_path / "blurred" / f"p{i}_blurred.nc"), "r") as nc:
+            e1 = int(nc.get_attrs(group="blurred")["moe_expert"])
+        with NCFile(str(tmp_path / "fused" / f"p{i}_train.nc"), "r") as nc:
+            e2 = int(nc.get_attrs(group="lr")["moe_expert"])
+        assert e1 == e2
