@@ -43,6 +43,7 @@ from .state import (
     init_gan_state,
     make_gan_optimizers,
     maybe_resume,
+    make_chunk_step,
 )
 
 
@@ -142,25 +143,12 @@ def make_moe_train_step(cfg: MoETrainConfig, device_pool: bool = False) -> Calla
         return new_state, metrics
 
     if device_pool and cfg.steps_per_call > 1:
-
-        def chunk_step(state, pool_dev, temps_chunk):
-            n_pool = pool_dev.shape[0]
-
-            def body(st, temp):
-                rng, k_hr, k_cr = jax.random.split(st.rng, 3)
-                hr_idx = jax.random.randint(k_hr, (cfg.batch_size,), 0, n_pool)
-                cr_idx = jax.random.randint(k_cr, (cfg.batch_size,), 0, n_pool)
-                st = dataclasses.replace(st, rng=rng)
-                return step(
-                    st,
-                    jnp.take(pool_dev, hr_idx, axis=0),
-                    jnp.take(pool_dev, cr_idx, axis=0),
-                    temp,
-                )
-
-            return jax.lax.scan(body, state, temps_chunk)
-
-        return jax.jit(chunk_step, donate_argnums=(0,)), (g_tx, d_tx)
+        # the annealed temperature schedule rides the scan's xs
+        return (
+            make_chunk_step(step, cfg.batch_size, cfg.steps_per_call,
+                            scan_xs=True),
+            (g_tx, d_tx),
+        )
 
     return jax.jit(step, donate_argnums=(0,)), (g_tx, d_tx)
 

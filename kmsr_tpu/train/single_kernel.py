@@ -53,6 +53,7 @@ from .state import (
     init_gan_state,
     make_gan_optimizers,
     maybe_resume,
+    make_chunk_step,
 )
 
 LOG_HEADER = "Iteration,Loss_D,Loss_G_adv,Loss_Reg,Loss_Reg_weighted\n"
@@ -197,24 +198,10 @@ def make_train_step(cfg: SingleKernelConfig, device_pool: bool = False) -> Calla
         return new_state, metrics
 
     if device_pool and cfg.steps_per_call > 1:
-
-        def chunk_step(state, pool_dev):
-            n_pool = pool_dev.shape[0]
-
-            def body(st, _):
-                rng, k_hr, k_cr = jax.random.split(st.rng, 3)
-                hr_idx = jax.random.randint(k_hr, (cfg.batch_size,), 0, n_pool)
-                cr_idx = jax.random.randint(k_cr, (cfg.batch_size,), 0, n_pool)
-                st = dataclasses.replace(st, rng=rng)
-                return step(
-                    st,
-                    jnp.take(pool_dev, hr_idx, axis=0),
-                    jnp.take(pool_dev, cr_idx, axis=0),
-                )
-
-            return jax.lax.scan(body, state, None, length=cfg.steps_per_call)
-
-        return jax.jit(chunk_step, donate_argnums=(0,)), (g_tx, d_tx)
+        return (
+            make_chunk_step(step, cfg.batch_size, cfg.steps_per_call),
+            (g_tx, d_tx),
+        )
 
     if device_pool:
 

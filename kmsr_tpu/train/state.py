@@ -112,6 +112,41 @@ def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
 
 
 # -------------------------------------------------- shared trainer plumbing
+def make_chunk_step(step, batch_size: int, steps_per_call: int,
+                    scan_xs: bool = False):
+    """Wrap a single train step into a jitted K-step on-device lax.scan.
+
+    All three GAN trainers share this body: each scan iteration splits
+    the state PRNG, samples HR / real-crop batches from the HBM-resident
+    pool by index, and calls `step`. With scan_xs, the chunk takes one
+    extra scanned-over array (e.g. the MoE temperature schedule) whose
+    leading dim is the chunk length; otherwise the chunk runs
+    `steps_per_call` iterations. Returns jit(chunk) with the state donated.
+    """
+    import jax.numpy as jnp
+
+    def chunk_step(state, pool_dev, *xs):
+        n_pool = pool_dev.shape[0]
+
+        def body(st, x):
+            rng, k_hr, k_cr = jax.random.split(st.rng, 3)
+            hr_idx = jax.random.randint(k_hr, (batch_size,), 0, n_pool)
+            cr_idx = jax.random.randint(k_cr, (batch_size,), 0, n_pool)
+            st = dataclasses.replace(st, rng=rng)
+            return step(
+                st,
+                jnp.take(pool_dev, hr_idx, axis=0),
+                jnp.take(pool_dev, cr_idx, axis=0),
+                *((x,) if scan_xs else ()),
+            )
+
+        if scan_xs:
+            return jax.lax.scan(body, state, xs[0])
+        return jax.lax.scan(body, state, None, length=steps_per_call)
+
+    return jax.jit(chunk_step, donate_argnums=(0,))
+
+
 def check_mesh_vs_scan(cfg, mesh) -> None:
     """Mesh DP shards host-sampled batches; the HBM-pool / scan-chunking
     knobs keep sampling on ONE device — the combination is an error every

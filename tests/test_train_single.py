@@ -186,3 +186,18 @@ def test_tp_matches_single_device(small_pool):
         jax.tree_util.tree_leaves(s2.d_params),
     ):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-2, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_single_chunked_scan(tmp_path, small_pool):
+    """steps_per_call > 1 in the single-kernel trainer (shared
+    make_chunk_step body): K steps per dispatch, CSV rows still per-iter,
+    kernel artifacts written."""
+    cfg = tiny_cfg(tmp_path, iters=4)
+    cfg.device_pool = True
+    cfg.steps_per_call = 2
+    out = train_single_kernel(small_pool, cfg, progress=False)
+    assert int(out["state"].step) == 4
+    assert out["kernel_per_band"].shape == (5, 13, 13)
+    lines = (tmp_path / "training_log.txt").read_text().splitlines()
+    assert [l.split(",")[0] for l in lines[1:]] == ["1", "2", "3", "4"]
