@@ -76,6 +76,8 @@ def _degrade_kernel(x_ref, k_ref, out_ref, *, factor: int, ksize: int, out_h: in
     kside = n_o * factor  # kernel zero-padded to the full tap lattice
     for dxi in range(factor):
         plane = x_ref[0, 0, dxi]  # [Yo, Xo, Bt], static index
+        if plane.dtype != jnp.float32:  # bf16 input storage: upcast in VMEM
+            plane = plane.astype(jnp.float32)
         for dxo in range(n_o):
             window = plane[:, dxo : dxo + out_w, :]
             dx = dxo * factor + dxi
@@ -113,6 +115,8 @@ def _degrade_kernel_v2(
     for dyi in range(factor):
         for dxi in range(factor):
             plane = x_ref[0, dyi, dxi]  # [Yo, Xo, Bt], static index
+            if plane.dtype != jnp.float32:  # bf16 storage: upcast in VMEM
+                plane = plane.astype(jnp.float32)
             for dxo in range(n_o):
                 window = plane[:, dxo : dxo + out_w, :]
                 dx = dxo * factor + dxi
@@ -158,8 +162,14 @@ def _degrade_kernel_v3(
     # 1e-3 RMSE). The permutation matmul is ~1% of kernel cycles anyway.
     p_mat = p_ref[...]
     for row in range(h):
+        x_row = x_ref[0, row]
+        if x_row.dtype != jnp.float32:
+            # bf16 input storage upcasts here; accumulation stays f32.
+            # (an unconditional f32->f32 astype measured a 22% slowdown —
+            # Mosaic emits a real copy for it, so gate at trace time)
+            x_row = x_row.astype(jnp.float32)
         xp_ref[row] = jax.lax.dot_general(
-            p_mat, x_ref[0, row],
+            p_mat, x_row,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -297,7 +307,7 @@ def degrade_pallas_chwb(
             out_shape=jax.ShapeDtypeStruct((c, out_h, out_w, b), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * c * out_h * out_w * b * ksize * ksize,
-                bytes_accessed=x.size * 4 + c * out_h * out_w * b * 4,
+                bytes_accessed=x.size * x.dtype.itemsize + c * out_h * out_w * b * 4,
                 transcendentals=0,
             ),
             compiler_params=pltpu.CompilerParams(
@@ -390,7 +400,7 @@ def degrade_pallas_chwb(
         operands.append(noise)
         kern = noise_kern
 
-    bytes_touched = x_pad.size * 4 + c * out_h * out_w * b * 4
+    bytes_touched = x_pad.size * x_pad.dtype.itemsize + c * out_h * out_w * b * 4
     return pl.pallas_call(
         functools.partial(
             kern, factor=factor, ksize=ksize, out_h=out_h, out_w=out_w

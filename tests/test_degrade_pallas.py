@@ -94,3 +94,21 @@ def test_pallas_v3_fused_pad_free(rng):
     # span guard: 13x13 blur at factor 4 has span 16 > 3*4
     with pytest.raises(ValueError, match="span"):
         degrade_pallas_chwb(xc, kernel, factor=4, interpret=True, version=3)
+
+
+def test_pallas_bf16_input_storage(rng):
+    """bf16 input storage is accepted (upcast in VMEM, f32 accumulate).
+    Its quantization error (~4e-3 rel RMSE measured on radiance-scale
+    data) exceeds the 1e-3 parity budget, so f32 stays the default —
+    this pins the contract: runs, close, but NOT parity-grade."""
+    x = rng.normal(5, 2, (2, 16, 16, 128)).astype(np.float32)
+    k = rng.uniform(0, 1, (2, 5, 5)).astype(np.float32)
+    f32 = np.asarray(degrade_pallas_chwb(
+        jnp.asarray(x), jnp.asarray(k), factor=4, interpret=True))
+    b16 = np.asarray(degrade_pallas_chwb(
+        jnp.asarray(x).astype(jnp.bfloat16), jnp.asarray(k), factor=4,
+        interpret=True))
+    assert b16.dtype == np.float32
+    rel = np.sqrt(np.mean((b16 - f32) ** 2)) / np.std(f32)
+    assert rel < 0.02, rel           # close (bf16 quantization scale)
+    assert not np.allclose(b16, f32, atol=1e-5)  # but not parity-grade
