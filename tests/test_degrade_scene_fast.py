@@ -68,15 +68,19 @@ def test_phase_split_shape_gate():
 
 
 def test_pick_tile_rules():
-    assert _pick_tile(1024, 8) == 32
-    assert _pick_tile(64, 8) == 32
-    assert _pick_tile(8, 8) == 8
-    assert _pick_tile(12, 8) is None  # no multiple-of-8 divisor
-    assert _pick_tile(4, 8) is None
+    # (out_h, factor, next_block): f*rt must divide into 8-sublane and
+    # NX-row block granularity, rt into out_h
+    assert _pick_tile(1024, 8, 16) == 16
+    assert _pick_tile(64, 8, 16) == 16
+    assert _pick_tile(8, 8, 16) == 8
+    assert _pick_tile(12, 4, 16) == 12  # f*rt = 48, mult of 8 and 16
+    assert _pick_tile(3, 3, 16) is None  # f*rt in {9, 3}: no legal block
 
 
 def test_slab_halo_contract():
-    top, bot = slab_halo(8, 20)  # k=13 composed: half=6 -> nb=1, sliver=8
-    assert top == 8 and bot == 64
-    top, bot = slab_halo(4, 16)  # f=4, k=13: half=6 -> nb=2, qmax=4 -> sliver=8
-    assert top == 8 and bot == 32
+    top, bot = slab_halo(8, 20)  # k=13 composed: half=6 -> nb=1
+    assert top == 8 and bot == 8
+    top, bot = slab_halo(4, 16)  # f=4, k=13: half=6 -> nb=2
+    assert top == 8 and bot == 8
+    top, bot = slab_halo(3, 7)  # f=3, k=5: half=2 -> nb=1
+    assert top == 3 and (top + bot) % 3 == 0 and bot >= 5
