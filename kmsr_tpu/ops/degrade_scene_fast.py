@@ -324,6 +324,304 @@ def _border_cols(
     return depthwise_conv2d(strip[None], comp, stride=factor)[0]
 
 
+def halo_rows(factor: int, ksize: int) -> tuple[int, int]:
+    """(top, bottom) REAL neighbor rows `degrade_rows_fast` needs: the
+    blur half-width above the slab, and the kernel's reach below its last
+    stride window. These are the mathematically-minimal halos (6 rows
+    each for the production f=8, 13x13-composed case) — what a sharded
+    caller must `ppermute`; no slab-sized concat is ever required."""
+    half = (ksize - factor) // 2
+    return half, max(ksize - half - factor, 0)
+
+
+def _colsplit_raw_kernel(
+    p_ref, x_ref, n_ref, k_ref, out_ref, *,
+    factor: int, ksize: int, half: int, pr: int, rt: int, inner_w: int,
+):
+    """Raw-rows variant of `_colsplit_kernel`: the slab carries NO halo;
+    prev/next blocks come from clamped block indices onto the same
+    operand (wrong content at the global edges — the host replaces the
+    nb top / ceil((K-half-f)/f) bottom output rows with strip convs).
+
+    Row stacks are per-RESIDUE ("base-f"): base[p] stacks plane rows
+    f*j + p once per (q, p), and every tap row-set dy is a shifted
+    slice of base[(dy - half + pr) % f] — ~2.4x fewer in-kernel row
+    concats than one stack per (q, dy) (measured +3% end-to-end)."""
+    shift = _geometry(factor, ksize)[2]
+    k_base = pl.program_id(0) * ksize * ksize
+    acc = jnp.zeros((rt, inner_w), jnp.float32)
+    max_start = ksize - 1 - half + pr
+    for q in range(factor):
+        plane = jnp.concatenate(
+            [p_ref[0, q], x_ref[0, q], n_ref[0, q]], axis=0
+        )  # [pr + f*rt + nx, S]
+        base: dict[int, jax.Array] = {}
+        for dy in range(ksize):
+            rows = None
+            for dx in range(ksize):
+                if (dx + shift) % factor != q:
+                    continue
+                if rows is None:
+                    start = dy - half + pr
+                    p = start % factor
+                    if p not in base:
+                        n_p = rt + (max_start - p) // factor
+                        base[p] = jnp.concatenate(
+                            [plane[factor * j + p][None] for j in range(n_p)],
+                            axis=0,
+                        )
+                    s0 = start // factor
+                    rows = base[p][s0 : s0 + rt]  # [rt, S]
+                qx = (dx + shift) // factor
+                kval = k_ref[0, k_base + dy * ksize + dx]
+                acc = acc + kval * rows[:, qx : qx + inner_w]
+    out_ref[0] = acc
+
+
+def _round_sublane(n: int) -> int:
+    return _SUBLANE * (-(-n // _SUBLANE))
+
+
+def _pick_tile_raw(out_h: int, factor: int, pr: int, nx: int,
+                   target: int = 16):
+    """rows_tile for the raw kernel: divides out_h; f*rt a multiple of
+    the sublane block and of the prev/next block-index granularities."""
+    for rt in range(min(target, out_h), 0, -1):
+        frt = factor * rt
+        if out_h % rt == 0 and frt % _SUBLANE == 0 \
+                and frt % pr == 0 and frt % nx == 0:
+            return rt
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("factor", "inner_w", "interpret", "tile_target"),
+)
+def _stencil_pallas_raw(
+    byq: jax.Array,
+    comp: jax.Array,
+    factor: int,
+    inner_w: int,
+    interpret: bool = False,
+    tile_target: int = 16,
+) -> jax.Array:
+    """Pallas stencil over a raw (halo-free) column phase split
+    [C, f, H, S] -> [C, H/f, inner_w]. Global-edge output rows are
+    contaminated (clamped prev/next blocks) — callers must overwrite
+    them (`degrade_rows_fast` does)."""
+    c, f, hin, s = byq.shape
+    ksize = comp.shape[-1]
+    half = (ksize - factor) // 2
+    pr = _round_sublane(max(half, 1))
+    nx = _round_sublane(max(ksize - half - factor, 1))
+    out_h = hin // factor
+    rt = _pick_tile_raw(out_h, factor, pr, nx, tile_target)
+    if rt is None or hin % factor or hin < max(pr, nx):
+        raise ValueError(
+            f"no legal raw tiling: rows {hin}, factor {factor}, "
+            f"pr {pr}, nx {nx}"
+        )
+    n_prev_blocks = hin // pr
+    n_next_blocks = hin // nx
+    grid = (c, out_h // rt)
+    frt = factor * rt
+    return pl.pallas_call(
+        functools.partial(
+            _colsplit_raw_kernel,
+            factor=factor, ksize=ksize, half=half, pr=pr, rt=rt,
+            inner_w=inner_w,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, f, pr, s),
+                # the pr rows above the main block, clamped at the top
+                lambda ci, ti, _g=frt // pr, _n=n_prev_blocks: (
+                    ci, 0, jnp.clip(ti * _g - 1, 0, _n - 1), 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, f, frt, s),
+                lambda ci, ti: (ci, 0, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, f, nx, s),
+                # the nx rows below the main block, clamped at the bottom
+                lambda ci, ti, _g=frt // nx, _n=n_next_blocks: (
+                    ci, 0, jnp.minimum((ti + 1) * _g, _n - 1), 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, c * ksize * ksize),
+                lambda ci, ti: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rt, inner_w),
+            lambda ci, ti: (ci, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, out_h, inner_w), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c * out_h * inner_w * ksize * ksize,
+            bytes_accessed=byq.size * byq.dtype.itemsize
+            + c * out_h * inner_w * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # clamped (non-affine) block indices revisit blocks at the
+            # edges: the grid's minor axis must stay "arbitrary"
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(byq, byq, byq, comp.reshape(1, c * ksize * ksize).astype(jnp.float32))
+
+
+def _row_band(
+    x: jax.Array, top_rows: jax.Array, bot_rows: jax.Array,
+    comp: jax.Array, factor: int, side: str, n_rows: int,
+) -> jax.Array:
+    """The n_rows top/bottom output rows via a thin full-width strip conv
+    (rows from the REAL halo + the slab; W edge-padded by `half`)."""
+    from .degrade import depthwise_conv2d
+
+    ksize = comp.shape[-1]
+    half = (ksize - factor) // 2
+    h = x.shape[1]
+    if side == "top":
+        strip = jnp.concatenate(
+            [top_rows, x[:, : factor * (n_rows - 1) + ksize - half]], axis=1
+        )
+    else:
+        strip = jnp.concatenate(
+            [x[:, h - factor * n_rows - half:], bot_rows], axis=1
+        )
+    strip = jnp.pad(strip, ((0, 0), (0, 0), (half, half)), mode="edge")
+    return depthwise_conv2d(strip[None], comp, stride=factor)[0]
+
+
+def _border_cols_raw(
+    x: jax.Array, top_rows: jax.Array, bot_rows: jax.Array,
+    comp: jax.Array, factor: int, side: str,
+) -> jax.Array:
+    """The nb border output columns on one side for the raw-rows path:
+    a thin column strip assembled from the real halos (no shift
+    gymnastics — the strip is exactly the oracle's padded geometry)."""
+    from .degrade import depthwise_conv2d
+
+    ksize = comp.shape[-1]
+    half, nb, *_ = _geometry(factor, ksize)
+    w = x.shape[-1]
+    width = factor * (nb - 1) + ksize - half  # columns the border taps reach
+    cols = slice(0, width) if side == "left" else slice(w - width, w)
+    strip = jnp.concatenate(
+        [top_rows[:, :, cols], x[:, :, cols], bot_rows[:, :, cols]], axis=1
+    )
+    wpad = (half, 0) if side == "left" else (0, half)
+    strip = jnp.pad(strip, ((0, 0), (0, 0), wpad), mode="edge")
+    return depthwise_conv2d(strip[None], comp, stride=factor)[0]
+
+
+def degrade_rows_fast(
+    x: jax.Array,
+    comp: jax.Array,
+    factor: int,
+    top_rows: jax.Array,
+    bot_rows: jax.Array,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """Degrade a RAW row slab given thin real halos — no slab-sized halo
+    concat anywhere (the committed `degrade_slab_fast` contract costs one
+    full extra HBM pass for the [top | slab | bot] assembly; measured
+    ~12 ms at 8192^2, ~25% of the whole scene pass).
+
+    x: [C, Hs, W] (Hs, W multiples of `factor`); top_rows/bot_rows:
+    [C, >=halo_rows()[0], W] / [C, >=halo_rows()[1], W] of neighbor
+    (sharded) or edge-replicated (global edge) content; comp: [C, K, K].
+    Returns [C, Hs/f, W/f], numerically identical to replicate-pad +
+    `depthwise_conv2d(..., stride=factor)` on the composed kernel.
+
+    The Pallas path reads the slab's column phase split exactly once:
+    interior rows via `_stencil_pallas_raw` (clamped prev/next blocks),
+    the nb/ceil((K-half-f)/f) edge output rows and nb border columns via
+    thin strip convs over the real halos.
+    """
+    c, h, w = x.shape
+    ksize = comp.shape[-1]
+    half, nb, shift, ke, qmax, _ = _geometry(factor, ksize)
+    th, bh = halo_rows(factor, ksize)
+    if h % factor or w % factor:
+        raise ValueError(f"slab dims must be factor multiples: {(h, w)}")
+    if top_rows.shape[1] < th or bot_rows.shape[1] < bh:
+        raise ValueError(
+            f"halos too thin: need ({th}, {bh}), "
+            f"got ({top_rows.shape[1]}, {bot_rows.shape[1]})"
+        )
+    top_rows = top_rows[:, top_rows.shape[1] - th:]
+    bot_rows = bot_rows[:, :bh]
+    out_h, out_w = h // factor, w // factor
+    if impl == "auto":
+        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if impl not in ("pallas", "xla"):
+        raise ValueError(f"impl must be auto|pallas|xla, got {impl!r}")
+    if qmax > 2 * nb:
+        raise ValueError(
+            f"kernel span {ksize} too wide for factor {factor} "
+            f"(qmax {qmax} > 2*nb {2 * nb}); use ops.degrade instead"
+        )
+    if impl == "pallas":
+        pr = _round_sublane(max(half, 1))
+        nx = _round_sublane(max(bh, 1))
+        if (half < 1 or bh < 1 or h < max(pr, nx)
+                or _pick_tile_raw(out_h, factor, pr, nx) is None):
+            impl = "xla"
+    if impl == "xla":
+        # adapter to the extended-slab contract: the shift top rows and
+        # the trailing bottom rows are multiplied only by the embedded
+        # kernel's zero taps — edge content keeps them finite
+        top_ext, bot_ext = slab_halo(factor, ksize)
+        parts = [
+            jnp.repeat(top_rows[:, :1] if th else x[:, :1], shift, axis=1),
+            top_rows, x, bot_rows,
+            jnp.repeat(
+                bot_rows[:, -1:] if bh else x[:, -1:], bot_ext - bh, axis=1
+            ),
+        ]
+        x_ext = jnp.concatenate([p for p in parts if p.shape[1]], axis=1)
+        return degrade_slab_fast(x_ext, comp, factor, impl="xla")
+
+    inner_w = out_w - 2 * nb
+    inner = _stencil_pallas_raw(
+        col_split(x, factor), comp, factor, inner_w, interpret=interpret
+    )
+    n_top = nb
+    n_bot = -(-bh // factor)
+    left = _border_cols_raw(x, top_rows, bot_rows, comp, factor, "left")
+    right = _border_cols_raw(x, top_rows, bot_rows, comp, factor, "right")
+    rows_mid = slice(n_top, out_h - n_bot if n_bot else out_h)
+    mid = jnp.concatenate(
+        [left[:, rows_mid], inner[:, rows_mid], right[:, rows_mid]], axis=-1
+    )
+    bands = []
+    if n_top:
+        bands.append(
+            _row_band(x, top_rows, bot_rows, comp, factor, "top", n_top)
+        )
+    bands.append(mid)
+    if n_bot:
+        bands.append(
+            _row_band(x, top_rows, bot_rows, comp, factor, "bottom", n_bot)
+        )
+    return jnp.concatenate(bands, axis=1) if len(bands) > 1 else bands[0]
+
+
 def degrade_slab_fast(
     x_ext: jax.Array,
     comp: jax.Array,

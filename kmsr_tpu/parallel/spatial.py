@@ -12,12 +12,13 @@ Global edges use replicate padding so the result is bit-compatible with
 the single-device `ops.degrade` path.
 
 Two local implementations:
-- 'fast' (default): column phase planes + the Pallas row-stack stencil
-  (`ops.degrade_scene_fast`) — 2.21 vs 1.02 Gpix/s end-to-end at 8192²
-  on v5e against the band-conv path. Its halo
-  contract is asymmetric (`slab_halo`): the top halo absorbs the blur
-  half-offset, the bottom covers the last tile's next-block over-read —
-  both ~8 rows, a few ppermute rows per shard.
+- 'fast' (default): the raw-rows column-phase Pallas stencil
+  (`ops.degrade_scene_fast.degrade_rows_fast`). The halo is the
+  mathematically-minimal `halo_rows` (~6 rows each way for f=8, 13x13
+  composed), exchanged as two THIN arrays — no slab-sized halo concat
+  is ever assembled; edge output rows/cols come from strip convs over
+  the real halos, so the slab's column split is the only full HBM
+  pre-pass.
 - 'bands': the older row-band batched XLA conv (kept as fallback and
   cross-check; see `_degrade_slab` for its layout notes).
 """
@@ -33,13 +34,16 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..ops.degrade import compose_with_box, depthwise_conv2d, normalize_kernel
-from ..ops.degrade_scene_fast import degrade_slab_fast, slab_halo
+from ..ops.degrade_scene_fast import degrade_rows_fast, halo_rows
 
 
-def _halo_exchange(
+def _thin_halo(
     x_local: jax.Array, top: int, bot: int, axis_name: str
-) -> jax.Array:
-    """x_local: [C, Hs, W] -> [C, top + Hs + bot, W] with neighbor rows.
+) -> tuple[jax.Array, jax.Array]:
+    """(top_rows [C, top, W], bot_rows [C, bot, W]) of neighbor content
+    for a row slab — WITHOUT assembling an extended slab (the raw-rows
+    fast path consumes the halos separately, so the per-shard
+    slab-sized concat of `_halo_exchange` never happens).
 
     Boundary shards replicate their own edge rows (global replicate-pad
     semantics).
@@ -54,9 +58,18 @@ def _halo_exchange(
 
     edge_top = jnp.repeat(x_local[:, :1], top, axis=1)
     edge_bottom = jnp.repeat(x_local[:, -1:], bot, axis=1)
-    top_pad = jnp.where(idx == 0, edge_top, from_above)
-    bottom_pad = jnp.where(idx == n - 1, edge_bottom, from_below)
-    return jnp.concatenate([top_pad, x_local, bottom_pad], axis=1)
+    top_rows = jnp.where(idx == 0, edge_top, from_above)
+    bot_rows = jnp.where(idx == n - 1, edge_bottom, from_below)
+    return top_rows, bot_rows
+
+
+def _halo_exchange(
+    x_local: jax.Array, top: int, bot: int, axis_name: str
+) -> jax.Array:
+    """x_local: [C, Hs, W] -> [C, top + Hs + bot, W] with neighbor rows
+    (the 'bands' fallback path; costs one slab-sized concat)."""
+    top_rows, bot_rows = _thin_halo(x_local, top, bot, axis_name)
+    return jnp.concatenate([top_rows, x_local, bot_rows], axis=1)
 
 
 def degrade_scene_sharded(
@@ -90,13 +103,19 @@ def degrade_scene_sharded(
     ksize = comp.shape[-1]
 
     if impl == "fast":
-        top, bot = slab_halo(factor, ksize)
-        if h // n < max(top, bot):
-            impl = "bands"  # slabs thinner than the halo: take the old path
+        top, bot = halo_rows(factor, ksize)
+        # strip convs reach ksize-ish rows into the slab; thinner slabs
+        # take the old path
+        if h // n < 2 * ksize:
+            impl = "bands"
     if impl == "fast":
         def local_fn(x_local, k_comp):
-            x_ext = _halo_exchange(x_local, top, bot, axis_name)
-            return degrade_slab_fast(x_ext, k_comp, factor)
+            top_rows, bot_rows = _thin_halo(
+                x_local, max(top, 1), max(bot, 1), axis_name
+            )
+            return degrade_rows_fast(
+                x_local, k_comp, factor, top_rows, bot_rows
+            )
     elif impl == "bands":
         halo = kh // 2
 

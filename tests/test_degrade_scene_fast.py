@@ -12,8 +12,10 @@ from kmsr_tpu.ops.degrade import (
 )
 from kmsr_tpu.ops.degrade_scene_fast import (
     _pick_tile,
+    degrade_rows_fast,
     degrade_slab_fast,
     extend_rows_edge,
+    halo_rows,
     phase_split,
     slab_halo,
 )
@@ -75,6 +77,73 @@ def test_pick_tile_rules():
     assert _pick_tile(8, 8, 16) == 8
     assert _pick_tile(12, 4, 16) == 12  # f*rt = 48, mult of 8 and 16
     assert _pick_tile(3, 3, 16) is None  # f*rt in {9, 3}: no legal block
+
+
+def _edge_halos(scene, factor, ksize):
+    """Edge-replicated thin halos (the whole-scene / global-edge case)."""
+    th, bh = halo_rows(factor, ksize)
+    top = jnp.repeat(scene[:, :1], max(th, 1), axis=1)
+    bot = jnp.repeat(scene[:, -1:], max(bh, 1), axis=1)
+    return top, bot
+
+
+@pytest.mark.parametrize(
+    "c,h,w,f,k",
+    [(5, 128, 96, 8, 13), (3, 64, 64, 4, 13), (2, 48, 80, 8, 7), (1, 36, 36, 3, 5)],
+)
+def test_rows_fast_xla_matches_conv(rng, c, h, w, f, k):
+    scene = jnp.asarray(rng.normal(5, 2, (c, h, w)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, (c, k, k)).astype(np.float32))
+    comp = compose_with_box(normalize_kernel(kernel), f)
+    top, bot = _edge_halos(scene, f, comp.shape[-1])
+    want = _oracle(scene, kernel, f)
+    got = degrade_rows_fast(scene, comp, f, top, bot, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_rows_fast_neighbor_halos_tile_exactly(rng):
+    """Two raw slabs fed each other's REAL rows reassemble the full-scene
+    oracle bit-for-bit (the sharded `_thin_halo` contract)."""
+    f, k = 8, 13
+    scene = jnp.asarray(rng.normal(5, 2, (2, 256, 96)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, (2, k, k)).astype(np.float32))
+    comp = compose_with_box(normalize_kernel(kernel), f)
+    th, bh = halo_rows(f, comp.shape[-1])
+    want = _oracle(scene, kernel, f)
+    hs = scene.shape[1] // 2
+    lo, hi = scene[:, :hs], scene[:, hs:]
+    edge_top, edge_bot = _edge_halos(scene, f, comp.shape[-1])
+    out_lo = degrade_rows_fast(
+        lo, comp, f, edge_top, hi[:, :bh], impl="xla")
+    out_hi = degrade_rows_fast(
+        hi, comp, f, lo[:, hs - th:], edge_bot, impl="xla")
+    got = jnp.concatenate([out_lo, out_hi], axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_rows_fast_pallas_interpret_matches_xla(rng):
+    f, k = 8, 13
+    scene = jnp.asarray(rng.normal(5, 2, (2, 128, 96)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, (2, k, k)).astype(np.float32))
+    comp = compose_with_box(normalize_kernel(kernel), f)
+    top, bot = _edge_halos(scene, f, comp.shape[-1])
+    want = degrade_rows_fast(scene, comp, f, top, bot, impl="xla")
+    got = degrade_rows_fast(
+        scene, comp, f, top, bot, impl="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_halo_rows_contract():
+    # production case: 13x13 blur composed with the x8 box -> 20x20
+    assert halo_rows(8, 20) == (6, 6)
+    assert halo_rows(4, 16) == (6, 6)
+    assert halo_rows(3, 7) == (2, 2)
+    # halos are always thinner than the extended-slab contract
+    for f, ks in [(8, 20), (4, 16), (3, 7), (8, 15)]:
+        th, bh = halo_rows(f, ks)
+        top, bot = slab_halo(f, ks)
+        assert th <= top and bh <= bot
 
 
 def test_slab_halo_contract():
