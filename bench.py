@@ -31,7 +31,7 @@ def main() -> int:
     use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         # production path: the pad-free fused Mosaic kernel on the factory
-        # CHWB layout (batch in lanes) — ~3.7M patches/s on one v5e
+        # CHWB layout (batch in lanes) — ~4.8M patches/s on one v5e
         from kmsr_tpu.ops.degrade_pallas import degrade_pallas_chwb
 
         x = jnp.asarray(

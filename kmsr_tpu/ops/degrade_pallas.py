@@ -20,13 +20,14 @@ Three generations, selectable via `version` (None = auto):
   the input f times (row phase on the grid); v2 reads it once.
 - v3 (default when the composed span fits 3*factor): fully fused —
   consumes the RAW unpadded block, performs the column phase split
-  in-kernel as one HIGHEST-precision MXU matmul with a [W, W]
-  permutation matrix, realizes replicate padding as statically clamped
-  tap indices, and vectorizes taps over all output rows. The input
-  crosses HBM exactly once in its natural layout: 3.5M degraded 64^2
-  patches/s/chip on v5e (3.9x the v1/v2 route, ~70x the 50k/s target),
-  and the fused-noise variant is FASTER still (2.1 ms vs 2.3 ms for
-  batch 8192) because the noise add rides the same pass.
+  in-kernel as MXU matmuls with a [W, W] permutation matrix, realizes
+  replicate padding as statically clamped tap indices, and vectorizes
+  taps over all output rows. The input crosses HBM exactly once in its
+  natural layout. The permutation matmul runs as 3 single-pass matmuls
+  over exact bf16 term splits of the f32 rows (`_permute_row`) instead
+  of one 6-pass HIGHEST matmul: 4.84M degraded 64^2 patches/s/chip on
+  v5e (+23% over HIGHEST; 97x the 50k/s target), and the fused-noise
+  variant rides the same pass.
 
 `degrade_pallas` wraps the kernel with the NCHW<->CHWB transposes;
 `degrade_pallas_chwb` is the zero-transpose production path for
@@ -132,9 +133,53 @@ def _degrade_noise_kernel_v2(x_ref, k_ref, n_ref, out_ref, **kw):
     out_ref[0] = out_ref[0] + n_ref[0]
 
 
+def _permute_row(p_mat, x_row, perm_mode: str):
+    """One column-permutation matmul row, [W, Bt] -> [W, Bt] f32.
+
+    A 0/1 permutation matmul SELECTS one input per output — there is no
+    accumulation — so splitting the f32 operand into exact bf16 terms
+    (x = hi + mid + lo, each term exactly representable) and summing
+    single-pass DEFAULT matmuls reproduces the permutation with no MXU
+    rounding of the terms themselves:
+      - 'split3': 3 one-pass matmuls, residual <= 2^-24 |x| (f32-exact);
+      - 'split2': 2 one-pass matmuls, residual <= 2^-16 |x| (~1.5e-5
+        rel — inside the 1e-3 factory parity budget);
+      - 'highest': the original 6-pass HIGHEST f32 matmul (bit-exact).
+    bf16-stored inputs take ONE exact pass regardless of mode (the old
+    path upcast to f32 then paid all 6 HIGHEST passes for 8-bit data).
+    """
+    dims = (((1,), (0,)), ((), ()))
+    if x_row.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            p_mat, x_row, dims, preferred_element_type=jnp.float32
+        )
+    if perm_mode == "highest":
+        return jax.lax.dot_general(
+            p_mat, x_row, dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    hi = x_row.astype(jnp.bfloat16)
+    r = x_row - hi.astype(jnp.float32)
+    terms = [hi]
+    if perm_mode == "split3":
+        mid = r.astype(jnp.bfloat16)
+        r = r - mid.astype(jnp.float32)
+        terms.append(mid)
+    terms.append(r.astype(jnp.bfloat16))
+    out = None
+    for t in terms:
+        d = jax.lax.dot_general(
+            p_mat, t, dims, preferred_element_type=jnp.float32
+        )
+        out = d if out is None else out + d
+    return out
+
+
 def _degrade_kernel_v3(
     x_ref, p_ref, k_ref, out_ref, xp_ref, *,
     factor: int, ksize: int, h: int, w: int, out_h: int, out_w: int,
+    perm_mode: str = "highest",
 ):
     """Fully-fused variant: consumes the RAW unpadded [H, W, Bt] block.
 
@@ -157,23 +202,17 @@ def _degrade_kernel_v3(
     half = (ksize - factor) // 2  # blur half-width (composed kernel)
     bt = x_ref.shape[-1]
     # MXU pass per row: permute columns w -> (w % f) * out_w + (w // f).
-    # HIGHEST precision — the default bf16 MXU pass would round the image
-    # through bf16 (measured 5e-3 abs err; the factory parity budget is
-    # 1e-3 RMSE). The permutation matmul is ~1% of kernel cycles anyway.
+    # A naive DEFAULT pass would round the image through bf16 (measured
+    # 5e-3 abs err vs the 1e-3 factory parity budget); HIGHEST is exact
+    # but pays 6 MXU passes. `_permute_row` cuts that to 2-3 exact
+    # bf16-term passes (or 1 for bf16-stored inputs).
     p_mat = p_ref[...]
     for row in range(h):
-        x_row = x_ref[0, row]
-        if x_row.dtype != jnp.float32:
-            # bf16 input storage upcasts here; accumulation stays f32.
-            # (an unconditional f32->f32 astype measured a 22% slowdown —
-            # Mosaic emits a real copy for it, so gate at trace time)
-            x_row = x_row.astype(jnp.float32)
-        xp_ref[row] = jax.lax.dot_general(
-            p_mat, x_row,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [W, bt], phases contiguous in sublanes
+        # bf16 input storage is consumed directly by the single-pass
+        # permutation (upcast happens in the f32 accumulate; an
+        # unconditional f32->f32 astype measured a 22% slowdown —
+        # Mosaic emits a real copy for it, so gate dtype at trace time)
+        xp_ref[row] = _permute_row(p_mat, x_ref[0, row], perm_mode)
     k_base = pl.program_id(0) * ksize * ksize
     # Vectorize over output ROWS: for each dy, stack the out_h statically-
     # clamped source rows so every (dy, dx) tap is ONE fma over the whole
@@ -214,7 +253,10 @@ def _degrade_noise_kernel_v3(x_ref, p_ref, k_ref, n_ref, out_ref, xp_ref, **kw):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("factor", "batch_tile", "interpret", "version")
+    jax.jit,
+    static_argnames=(
+        "factor", "batch_tile", "interpret", "version", "perm_mode"
+    ),
 )
 def degrade_pallas_chwb(
     x: jax.Array,
@@ -224,6 +266,7 @@ def degrade_pallas_chwb(
     batch_tile: int = LANE,
     interpret: bool = False,
     version: int | None = None,
+    perm_mode: str = "split3",
 ) -> jax.Array:
     """Fused degrade on factory-layout data.
 
@@ -235,6 +278,11 @@ def degrade_pallas_chwb(
     patches/s/chip on v5e — 3.9x the v1/v2 route, which pays an XLA
     edge-pad + phase-split pre-pass at ~3x copy cost) whenever the
     composed kernel span fits 3*factor, else v2.
+
+    perm_mode (v3 only) sets the in-kernel column-permutation matmul's
+    precision/passes trade: 'split3' (default, f32-exact, 3 one-pass
+    bf16-term matmuls), 'split2' (~1.5e-5 rel residual, 2 passes), or
+    'highest' (bit-exact 6-pass f32 matmul). See `_permute_row`.
     """
     c, h, w, b = x.shape
     if h % factor or w % factor:
@@ -261,10 +309,21 @@ def degrade_pallas_chwb(
             raise ValueError(
                 f"v3 supports kernel span <= 3*factor, got {ksize} > {3 * factor}"
             )
-        # column-permutation matrix: v = (w % f) * out_w + (w // f)
+        if perm_mode not in ("split2", "split3", "highest"):
+            raise ValueError(
+                f"perm_mode must be split2|split3|highest, got {perm_mode!r}"
+            )
+        # column-permutation matrix: v = (w % f) * out_w + (w // f);
+        # 0/1 entries are exact in bf16, which the split modes (and any
+        # bf16-stored input) consume in single MXU passes
         perm = np.zeros((w, w), np.float32)
         for wi in range(w):
             perm[(wi % factor) * out_w + wi // factor, wi] = 1.0
+        p_dtype = (
+            jnp.float32
+            if perm_mode == "highest" and x.dtype == jnp.float32
+            else jnp.bfloat16
+        )
         grid = (c, b // batch_tile)
         in_specs = [
             pl.BlockSpec(
@@ -279,7 +338,9 @@ def degrade_pallas_chwb(
                 memory_space=pltpu.SMEM,
             ),
         ]
-        operands = [x, jnp.asarray(perm), comp.reshape(1, c * ksize * ksize)]
+        operands = [
+            x, jnp.asarray(perm, p_dtype), comp.reshape(1, c * ksize * ksize)
+        ]
         kern = _degrade_kernel_v3
         if noise is not None:
             in_specs.append(
@@ -294,7 +355,7 @@ def degrade_pallas_chwb(
         return pl.pallas_call(
             functools.partial(
                 kern, factor=factor, ksize=ksize, h=h, w=w,
-                out_h=out_h, out_w=out_w,
+                out_h=out_h, out_w=out_w, perm_mode=perm_mode,
             ),
             grid=grid,
             in_specs=in_specs,

@@ -112,3 +112,22 @@ def test_pallas_bf16_input_storage(rng):
     rel = np.sqrt(np.mean((b16 - f32) ** 2)) / np.std(f32)
     assert rel < 0.02, rel           # close (bf16 quantization scale)
     assert not np.allclose(b16, f32, atol=1e-5)  # but not parity-grade
+
+
+@pytest.mark.parametrize("mode", ["split3", "split2", "highest"])
+def test_pallas_v3_perm_modes_match(rng, mode):
+    """The bf16-term split permutation matmuls (2-3 one-pass MXU ops)
+    must match the XLA oracle as tightly as the 6-pass HIGHEST matmul:
+    a 0/1 permutation matmul selects (never accumulates), so exact bf16
+    term splitting reproduces the f32 permutation to <=2^-16 rel."""
+    from kmsr_tpu.ops.degrade import degrade_strided
+
+    img = rng.normal(5, 2, (2, 5, 16, 16)).astype(np.float32)
+    kernel = jnp.asarray(rng.uniform(0, 1, (5, 13, 13)).astype(np.float32))
+    want = np.asarray(degrade_strided(jnp.asarray(img), kernel, factor=8))
+    xc = jnp.pad(jnp.asarray(np.transpose(img, (1, 2, 3, 0))),
+                 ((0, 0), (0, 0), (0, 0), (0, 126)))
+    out = degrade_pallas_chwb(
+        xc, kernel, factor=8, interpret=True, version=3, perm_mode=mode)
+    got = np.transpose(np.asarray(out)[..., :2], (3, 0, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
