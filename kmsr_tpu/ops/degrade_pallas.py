@@ -18,6 +18,14 @@ Three generations, selectable via `version` (None = auto):
   edge-mode pad alone runs at ~3x a pure copy (sublane-hostile W+2*pad
   extents) and dominates end-to-end time. v1 additionally re-streams
   the input f times (row phase on the grid); v2 reads it once.
+- v4 (default for spans > 3*factor where v3 is unavailable): the WHOLE
+  stencil — permutation, clamped replicate padding, every composed
+  tap — folded into one dense [out_h*out_w, h*w] matrix per channel and
+  applied as 3 bf16-term-split MXU matmuls (`_stencil_matrix`,
+  `_degrade_kernel_v4`). Dense wastes ~10x the sparse FLOPs but rides
+  the MXU: 3.3x v2 at factor 4 (1.56 vs 0.48 M patches/s), though
+  measured SLOWER than v3's VPU lattice where both apply (2.95 vs 3.26M
+  at factor 8) — hence v3 stays the default for narrow spans.
 - v3 (default when the composed span fits 3*factor): fully fused —
   consumes the RAW unpadded block, performs the column phase split
   in-kernel as MXU matmuls with a [W, W] permutation matrix, realizes
@@ -252,6 +260,75 @@ def _degrade_noise_kernel_v3(x_ref, p_ref, k_ref, n_ref, out_ref, xp_ref, **kw):
     out_ref[0] = out_ref[0] + n_ref[0]
 
 
+def _degrade_kernel_v4(x_ref, ah_ref, al_ref, out_ref, *,
+                       h: int, w: int, out_h: int, out_w: int):
+    """Whole-stencil-as-matmul variant: one [out_h*out_w, h*w] matrix A
+    per channel encodes ALL of v3's work — the column permutation, the
+    statically-clamped replicate padding, and the full composed tap
+    lattice — as a dense MXU contraction over the flattened block:
+
+        out[i*out_w + j, b] = sum_p A[i*out_w + j, p] * x[p, b]
+
+    Dense wastes ~10x the FLOPs of the sparse 400-tap lattice, but buys
+    them back on the MXU (vs the VPU fma lattice) and removes the
+    per-row permutation loop entirely. Precision: A and x are each split
+    into exact bf16 terms (A = ah + al, x = xh + xl; MXU products of
+    bf16 operands accumulate in f32 exactly), and the lo*lo term is
+    dropped — residual ~2^-16 of the output, well inside the 1e-3
+    factory parity budget.
+    """
+    bt = x_ref.shape[-1]
+    x = x_ref[0].reshape(h * w, bt)
+    if x.dtype == jnp.bfloat16:
+        xh, xl = x, None
+    else:
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    ah = ah_ref[0]
+    al = al_ref[0]
+    dims = (((1,), (0,)), ((), ()))
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32
+        )
+
+    acc = dot(ah, xh) + dot(al, xh)
+    if xl is not None:
+        acc = acc + dot(ah, xl)
+    out_ref[0] = acc.reshape(out_h, out_w, bt)
+
+
+def _degrade_noise_kernel_v4(x_ref, ah_ref, al_ref, n_ref, out_ref, **kw):
+    _degrade_kernel_v4(x_ref, ah_ref, al_ref, out_ref, **kw)
+    out_ref[0] = out_ref[0] + n_ref[0]
+
+
+def _stencil_matrix(comp: jax.Array, factor: int, h: int, w: int) -> jax.Array:
+    """[C, out_h*out_w, h*w] dense stencil matrix: A[o, y*w + x] sums the
+    composed-kernel taps that read input pixel (y, x) for output o, with
+    replicate padding folded in as clamped (duplicate, scatter-added)
+    indices. Index arrays are static; the scatter-add runs under jit so
+    traced kernels work."""
+    c, ksize, _ = comp.shape
+    half = (ksize - factor) // 2
+    out_h, out_w = h // factor, w // factor
+    rows, cols, kidx = [], [], []
+    for i in range(out_h):
+        for j in range(out_w):
+            for dy in range(ksize):
+                y = min(max(factor * i + dy - half, 0), h - 1)
+                for dx in range(ksize):
+                    x = min(max(factor * j + dx - half, 0), w - 1)
+                    rows.append(i * out_w + j)
+                    cols.append(y * w + x)
+                    kidx.append(dy * ksize + dx)
+    flat = np.asarray(rows, np.int32) * (h * w) + np.asarray(cols, np.int32)
+    a = jnp.zeros((c, out_h * out_w * h * w), jnp.float32)
+    a = a.at[:, flat].add(comp.reshape(c, -1)[:, np.asarray(kidx, np.int32)])
+    return a.reshape(c, out_h * out_w, h * w)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -274,10 +351,12 @@ def degrade_pallas_chwb(
     inside); noise: optional [C, H/f, W/f, B] added to the output.
     Returns [C, H/f, W/f, B].
 
-    version=None auto-selects: the pad-free v3 kernel (3.5M 64^2
-    patches/s/chip on v5e — 3.9x the v1/v2 route, which pays an XLA
+    version=None auto-selects: the pad-free v3 kernel (4.84M 64^2
+    patches/s/chip on v5e — vs the v1/v2 route, which pays an XLA
     edge-pad + phase-split pre-pass at ~3x copy cost) whenever the
-    composed kernel span fits 3*factor, else v2.
+    composed kernel span fits 3*factor; the dense-MXU v4 for wider
+    spans when its layout constraints hold (3.3x v2 at factor 4);
+    else v2.
 
     perm_mode (v3 only) sets the in-kernel column-permutation matmul's
     precision/passes trade: 'split3' (default, f32-exact, 3 one-pass
@@ -300,10 +379,84 @@ def degrade_pallas_chwb(
     kh_half = kernel.shape[-1] // 2
     out_h, out_w = h // factor, w // factor
 
+    # flattening [h, w, bt] -> [h*w, bt] (and [out_hw] -> [out_h, out_w])
+    # is layout-free only on sublane multiples; the dense A must also fit
+    # VMEM comfortably
+    v4_ok = not (
+        w % 8 or out_w % 8 or out_h * out_w * h * w > 64 * 64 * 64 * 8
+    )
     if version is None:
-        version = 3 if ksize <= 3 * factor else 2
-    if version not in (1, 2, 3):
-        raise ValueError(f"version must be 1, 2, 3 or None, got {version!r}")
+        if ksize <= 3 * factor:
+            version = 3       # VPU tap lattice (fastest when it fits)
+        elif v4_ok:
+            version = 4       # dense MXU stencil: any span, 3.3x v2
+        else:
+            version = 2
+    if version not in (1, 2, 3, 4):
+        raise ValueError(f"version must be 1..4 or None, got {version!r}")
+    if version == 4:
+        if not v4_ok:
+            raise ValueError(
+                f"v4 needs w, w//factor multiples of 8 and a VMEM-sized "
+                f"stencil matrix; got h={h}, w={w}, factor={factor}"
+            )
+        a = _stencil_matrix(comp, factor, h, w)
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        out_hw = out_h * out_w
+        grid = (c, b // batch_tile)
+        in_specs = [
+            pl.BlockSpec(
+                (1, h, w, batch_tile),
+                lambda ci, bi: (ci, 0, 0, bi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, out_hw, h * w),
+                lambda ci, bi: (ci, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, out_hw, h * w),
+                lambda ci, bi: (ci, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        operands = [x, ah, al]
+        kern = _degrade_kernel_v4
+        if noise is not None:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, out_h, out_w, batch_tile),
+                    lambda ci, bi: (ci, 0, 0, bi),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            operands.append(noise)
+            kern = _degrade_noise_kernel_v4
+        return pl.pallas_call(
+            functools.partial(
+                kern, h=h, w=w, out_h=out_h, out_w=out_w,
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, out_h, out_w, batch_tile),
+                lambda ci, bi: (ci, 0, 0, bi),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((c, out_h, out_w, b), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * 2 * c * out_hw * h * w * b,
+                bytes_accessed=x.size * x.dtype.itemsize
+                + c * out_hw * b * 4 + 2 * ah.size * 2,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(*operands)
     if version == 3:
         if ksize > 3 * factor:
             raise ValueError(

@@ -131,3 +131,33 @@ def test_pallas_v3_perm_modes_match(rng, mode):
         xc, kernel, factor=8, interpret=True, version=3, perm_mode=mode)
     got = np.transpose(np.asarray(out)[..., :2], (3, 0, 1, 2))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_v4_dense_mxu_stencil(rng):
+    """v4 (whole stencil as dense bf16-term-split MXU matmuls) must
+    match the XLA oracle at BOTH narrow (f=8, span 20 <= 24) and wide
+    (f=4, span 16 > 12, where v3 is unavailable and auto picks v4)
+    spans, with fused noise riding the same pass."""
+    from kmsr_tpu.ops.degrade import degrade_strided
+
+    kernel = jnp.asarray(rng.uniform(0, 1, (5, 13, 13)).astype(np.float32))
+    # f=8 needs w>=64 for out_w%8; f=4 covers the wide-span auto case
+    for f, side in ((8, 64), (4, 32)):
+        img = rng.normal(5, 2, (2, 5, side, side)).astype(np.float32)
+        xi = jnp.pad(jnp.asarray(np.transpose(img, (1, 2, 3, 0))),
+                     ((0, 0), (0, 0), (0, 0), (0, 126)))
+        want = np.asarray(degrade_strided(jnp.asarray(img), kernel, factor=f))
+        out = degrade_pallas_chwb(
+            xi, kernel, factor=f, interpret=True, version=4)
+        got = np.transpose(np.asarray(out)[..., :2], (3, 0, 1, 2))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    img = rng.normal(5, 2, (2, 5, 32, 32)).astype(np.float32)
+    xc = jnp.pad(jnp.asarray(np.transpose(img, (1, 2, 3, 0))),
+                 ((0, 0), (0, 0), (0, 0), (0, 126)))
+    # fused noise is exact on top of the stencil
+    noise = jnp.asarray(rng.normal(0, 0.5, (5, 8, 8, 128)).astype(np.float32))
+    base = np.asarray(degrade_pallas_chwb(
+        xc, kernel, factor=4, interpret=True, version=4))
+    fused = np.asarray(degrade_pallas_chwb(
+        xc, kernel, noise=noise, factor=4, interpret=True, version=4))
+    np.testing.assert_allclose(fused, base + np.asarray(noise), atol=1e-6)
