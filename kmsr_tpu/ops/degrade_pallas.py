@@ -215,26 +215,34 @@ def _degrade_kernel_v3(
     # but pays 6 MXU passes. `_permute_row` cuts that to 2-3 exact
     # bf16-term passes (or 1 for bf16-stored inputs).
     p_mat = p_ref[...]
+    # The scratch is ROW-PHASE-SPLIT: xp_ref[p, 1 + y//f] holds permuted
+    # image row y (p = y % f), with one replicate halo row at each end of
+    # the j axis. Every tap dy then reads its out_h source rows (strided
+    # f apart in image space) as ONE contiguous [out_h, W, Bt] slice,
+    # replacing a per-dy jnp.stack of clamped rows (interleaved A/B:
+    # +2% — Mosaic scheduled the static stacks well, but the slice is
+    # free and the addressing simpler).
     for row in range(h):
         # bf16 input storage is consumed directly by the single-pass
         # permutation (upcast happens in the f32 accumulate; an
         # unconditional f32->f32 astype measured a 22% slowdown —
         # Mosaic emits a real copy for it, so gate dtype at trace time)
-        xp_ref[row] = _permute_row(p_mat, x_ref[0, row], perm_mode)
+        xp_ref[row % factor, 1 + row // factor] = _permute_row(
+            p_mat, x_ref[0, row], perm_mode
+        )
+    for p in range(factor):
+        # replicate halos: y < 0 clamps to image row 0, y > h-1 to h-1
+        xp_ref[p, 0] = xp_ref[0, 1]
+        xp_ref[p, out_h + 1] = xp_ref[(h - 1) % factor, 1 + (h - 1) // factor]
     k_base = pl.program_id(0) * ksize * ksize
-    # Vectorize over output ROWS: for each dy, stack the out_h statically-
-    # clamped source rows so every (dy, dx) tap is ONE fma over the whole
-    # [out_h, out_w, Bt] output tile. Fully static addressing (a fori_loop
-    # over dy with dynamic row loads measured 2.2x slower; a per-(i,dy,dx)
-    # unroll matched this speed but compiled 5x slower in Mosaic).
+    # Vectorize over output ROWS: every (dy, dx) tap is ONE fma over the
+    # whole [out_h, out_w, Bt] output tile. Fully static addressing (a
+    # fori_loop over dy with dynamic row loads measured 2.2x slower; a
+    # per-(i,dy,dx) unroll matched this speed but compiled 5x slower).
     acc = jnp.zeros((out_h, out_w, bt), jnp.float32)
     for dy in range(ksize):
-        stacked = jnp.stack(
-            [
-                xp_ref[min(max(factor * i + dy - half, 0), h - 1)]
-                for i in range(out_h)
-            ]
-        )                                       # [out_h, W, bt]
+        q0, p = divmod(dy - half, factor)
+        stacked = xp_ref[p, q0 + 1 : q0 + 1 + out_h]  # [out_h, W, Bt]
         left = stacked[:, 0:1]                  # image col 0   (v = 0)
         right = stacked[:, w - 1 : w]           # image col W-1 (v = W-1)
         for dx in range(ksize):
@@ -517,7 +525,11 @@ def degrade_pallas_chwb(
                 lambda ci, bi: (ci, 0, 0, bi),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[pltpu.VMEM((h, w, batch_tile), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (factor, h // factor + 2, w, batch_tile), jnp.float32
+                )
+            ],
             out_shape=jax.ShapeDtypeStruct((c, out_h, out_w, b), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * c * out_h * out_w * b * ksize * ksize,
