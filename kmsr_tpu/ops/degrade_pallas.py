@@ -11,7 +11,7 @@ Inputs are `[C, H, W, B]` so every stencil tap is a full-width VPU fma
 over 128+ batch elements, instead of the 8x8 output tile a per-image
 layout would vectorize over.
 
-Three generations, selectable via `version` (None = auto):
+Four generations, selectable via `version` (None = auto):
 
 - v1/v2: an XLA pre-pass replicate-pads and phase-splits the input so
   every stride-f tap is a contiguous slice. Measured on v5e the
@@ -388,10 +388,12 @@ def degrade_pallas_chwb(
     out_h, out_w = h // factor, w // factor
 
     # flattening [h, w, bt] -> [h*w, bt] (and [out_hw] -> [out_h, out_w])
-    # is layout-free only on sublane multiples; the dense A must also fit
-    # VMEM comfortably
+    # is layout-free only on sublane-tile multiples — 8 for f32, 16 for
+    # bf16-stored inputs (the (16, 128) bf16 tile); the dense A must
+    # also fit VMEM comfortably
+    w_tile = 16 if x.dtype == jnp.bfloat16 else 8
     v4_ok = not (
-        w % 8 or out_w % 8 or out_h * out_w * h * w > 64 * 64 * 64 * 8
+        w % w_tile or out_w % 8 or out_h * out_w * h * w > 64 * 64 * 64 * 8
     )
     if version is None:
         if ksize <= 3 * factor:

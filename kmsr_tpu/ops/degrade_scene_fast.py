@@ -62,6 +62,10 @@ from jax.experimental.pallas import tpu as pltpu
 _SUBLANE = 8
 
 
+def _round_sublane(n: int) -> int:
+    return _SUBLANE * (-(-n // _SUBLANE))
+
+
 def _geometry(factor: int, ksize: int):
     """(half, nb, shift, ke, qmax, sliver) for a composed kernel span."""
     half = (ksize - factor) // 2          # blur half-width
@@ -69,7 +73,7 @@ def _geometry(factor: int, ksize: int):
     shift = nb * factor - half            # static zero-shift, in [0, f)
     ke = ksize + shift                    # embedded tap-lattice span
     qmax = (ke - 1) // factor
-    sliver = _SUBLANE * (-(-qmax // _SUBLANE))
+    sliver = _round_sublane(qmax)
     return half, nb, shift, ke, qmax, sliver
 
 
@@ -77,7 +81,7 @@ def _next_block(factor: int, ksize: int) -> int:
     """Rows of the Pallas next-block: the kernel's deepest tap reaches
     ksize + shift - factor rows past its main block, rounded to sublanes."""
     shift = _geometry(factor, ksize)[2]
-    return _SUBLANE * (-(-(ksize + shift - factor) // _SUBLANE))
+    return _round_sublane(ksize + shift - factor)
 
 
 def slab_halo(factor: int, ksize: int) -> tuple[int, int]:
@@ -222,12 +226,8 @@ def _colsplit_kernel(
 def _pick_tile(out_h: int, factor: int, nx: int, target: int = 16):
     """rows_tile: divides out_h, f*rt a multiple of both 8 (sublane
     blocks) and NX (next-block index granularity) — or None (XLA
-    fallback)."""
-    for rt in range(min(target, out_h), 0, -1):
-        if out_h % rt == 0 and (factor * rt) % _SUBLANE == 0 \
-                and (factor * rt) % nx == 0:
-            return rt
-    return None
+    fallback). The raw-path picker with no prev-block constraint."""
+    return _pick_tile_raw(out_h, factor, 1, nx, target)
 
 
 @functools.partial(
@@ -376,10 +376,6 @@ def _colsplit_raw_kernel(
                 kval = k_ref[0, k_base + dy * ksize + dx]
                 acc = acc + kval * rows[:, qx : qx + inner_w]
     out_ref[0] = acc
-
-
-def _round_sublane(n: int) -> int:
-    return _SUBLANE * (-(-n // _SUBLANE))
 
 
 def _pick_tile_raw(out_h: int, factor: int, pr: int, nx: int,
@@ -579,8 +575,17 @@ def degrade_rows_fast(
     if impl == "pallas":
         pr = _round_sublane(max(half, 1))
         nx = _round_sublane(max(bh, 1))
+        n_top_req = nb
+        n_bot_req = -(-bh // factor)
         if (half < 1 or bh < 1 or h < max(pr, nx)
-                or _pick_tile_raw(out_h, factor, pr, nx) is None):
+                or _pick_tile_raw(out_h, factor, pr, nx) is None
+                # the edge-row strip convs reach this deep into the slab;
+                # a thinner slab would under-run them (and an out_h below
+                # the two bands would mis-assemble) — take the XLA path,
+                # which handles thin slabs correctly
+                or h < factor * (n_top_req - 1) + ksize - half
+                or h < factor * n_bot_req + half
+                or out_h < n_top_req + n_bot_req):
             impl = "xla"
     if impl == "xla":
         # adapter to the extended-slab contract: the shift top rows and

@@ -134,6 +134,24 @@ def test_rows_fast_pallas_interpret_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
+def test_rows_fast_thin_slab_falls_back(rng):
+    """A slab thinner than the edge strip-conv reach must take the XLA
+    path (which handles it) instead of returning a wrong-shaped result
+    from the Pallas assembly (regression: an 8-row f=8 slab returned
+    shape (c, 0, out_w) with no exception)."""
+    f, k = 8, 13
+    scene = jnp.asarray(rng.normal(5, 2, (2, 8, 96)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, (2, k, k)).astype(np.float32))
+    comp = compose_with_box(normalize_kernel(kernel), f)
+    top, bot = _edge_halos(scene, f, comp.shape[-1])
+    want = _oracle(scene, kernel, f)
+    for impl in ("pallas", "auto", "xla"):
+        got = degrade_rows_fast(scene, comp, f, top, bot, impl=impl)
+        assert got.shape == want.shape, (impl, got.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
 def test_halo_rows_contract():
     # production case: 13x13 blur composed with the x8 box -> 20x20
     assert halo_rows(8, 20) == (6, 6)
