@@ -63,11 +63,17 @@ def main() -> int:
         out = fn(x, kernel)
     drain(out)  # warm queue
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x, kernel)
-    drain(out)  # device queue is in-order: this fences all prior launches
-    dt = time.perf_counter() - t0
+    # Median of several timing windows: tunnel/host throughput drifts by
+    # ~15% across hours and single windows catch transient stalls; the
+    # median window is the robust sustained-throughput estimate.
+    windows = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(x, kernel)
+        drain(out)  # device queue is in-order: fences all prior launches
+        windows.append(time.perf_counter() - t0)
+    dt = sorted(windows)[len(windows) // 2]
 
     patches_per_sec = batch * iters / dt
     print(

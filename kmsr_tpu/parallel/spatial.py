@@ -109,12 +109,25 @@ def degrade_scene_sharded(
         if h // n < 2 * ksize:
             impl = "bands"
     if impl == "fast":
+        # Pick the local backend from the MESH devices, not
+        # jax.default_backend(): in a mixed-platform process (real TPU
+        # plugin + forced-host CPU devices, e.g. the driver's multichip
+        # dry run) the default backend is the TPU even when this mesh is
+        # CPU — the Mosaic path would then fail with "only interpret
+        # mode is supported on CPU backend".
+        local_impl = (
+            "pallas"
+            if next(iter(mesh.devices.flat)).platform == "tpu"
+            else "xla"
+        )
+
         def local_fn(x_local, k_comp):
             top_rows, bot_rows = _thin_halo(
                 x_local, max(top, 1), max(bot, 1), axis_name
             )
             return degrade_rows_fast(
-                x_local, k_comp, factor, top_rows, bot_rows
+                x_local, k_comp, factor, top_rows, bot_rows,
+                impl=local_impl,
             )
     elif impl == "bands":
         halo = kh // 2
