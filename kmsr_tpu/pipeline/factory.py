@@ -37,6 +37,10 @@ from .common import RunReport
 def degrade_with_noise(
     batch: jax.Array, kernel: jax.Array, noise: jax.Array, factor: int, backend: str
 ) -> jax.Array:
+    if backend == "auto":
+        # the fused Mosaic kernel is ~5x the XLA strided conv on a TPU;
+        # elsewhere interpret mode would be pathologically slow
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         import jax as _jax
 
@@ -100,7 +104,7 @@ def run_factory(
     in_group: str = GROUP_DENOISED,
     batch_size: int = 64,
     seed: int = 42,
-    backend: str = "xla",
+    backend: str = "auto",
     progress: bool = True,
     moe_path: str | None = None,
     moe_noise: str = "pool",
@@ -113,6 +117,8 @@ def run_factory(
     keeps the empirical noise-pool injection (E_ semantics); 'sigma'
     uses the expert's learned per-band Gaussian sigma instead."""
     t0 = time.time()
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if (moe_path is None) == (kernel_path is None):
         raise ValueError("exactly one of kernel_path / moe_path is required")
     pool = np.load(noise_pool_path).astype(np.float32)  # [N, C, h, w]
@@ -219,7 +225,7 @@ def main(argv=None) -> int:
     p.add_argument("--in-group", default=GROUP_DENOISED)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
     a = p.parse_args(argv)
     report = run_factory(
         a.input_dir, a.kernel, a.noise_pool, a.output_dir,
