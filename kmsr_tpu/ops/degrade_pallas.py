@@ -348,7 +348,7 @@ def degrade_pallas_chwb(
     kernel: jax.Array,
     noise: jax.Array | None = None,
     factor: int = 8,
-    batch_tile: int = LANE,
+    batch_tile: int | None = None,
     interpret: bool = False,
     version: int | None = None,
     perm_mode: str = "split3",
@@ -358,6 +358,10 @@ def degrade_pallas_chwb(
     x: [C, H, W, B] (unpadded); kernel: [C, kh, kw] (normalized per band
     inside); noise: optional [C, H/f, W/f, B] added to the output.
     Returns [C, H/f, W/f, B].
+
+    batch_tile=None auto-selects: 2 lanes (256) when the batch divides and
+    the input tile stays small (measured +9% over 128 at 64^2/f=8 — fewer
+    grid steps pipeline better; 512 adds nothing), else 1 lane (128).
 
     version=None auto-selects: the pad-free v3 kernel (4.84M 64^2
     patches/s/chip on v5e — vs the v1/v2 route, which pays an XLA
@@ -372,6 +376,8 @@ def degrade_pallas_chwb(
     'highest' (bit-exact 6-pass f32 matmul). See `_permute_row`.
     """
     c, h, w, b = x.shape
+    if batch_tile is None:
+        batch_tile = 2 * LANE if (b % (2 * LANE) == 0 and h * w <= 64 * 64) else LANE
     if h % factor or w % factor:
         raise ValueError(f"H, W must be multiples of factor: {(h, w, factor)}")
     if b % batch_tile:
@@ -464,6 +470,9 @@ def degrade_pallas_chwb(
             ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
+                # default 16 MB scoped-vmem cap binds at batch_tile>=256
+                # (v5e has 128 MB of VMEM)
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
         )(*operands)
@@ -540,6 +549,9 @@ def degrade_pallas_chwb(
             ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
+                # default 16 MB scoped-vmem cap binds at batch_tile>=256
+                # (v5e has 128 MB of VMEM)
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
         )(*operands)
