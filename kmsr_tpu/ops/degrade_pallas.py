@@ -184,6 +184,43 @@ def _permute_row(p_mat, x_row, perm_mode: str):
     return out
 
 
+def _tap_lattice(rows_of, k_ref, k_base, *, factor: int, ksize: int,
+                 w: int, out_h: int, out_w: int, bt: int):
+    """The composed-stencil VPU fma lattice shared by v3 and the
+    pre-split variant. `rows_of(p, q0)` returns the [out_h, W, Bt] slab
+    of phase-`p` rows starting at row-block q0 (with the replicate halo
+    at each end already materialized by the caller's layout).
+
+    Vectorizes over output ROWS: every (dy, dx) tap is ONE fma over the
+    whole [out_h, out_w, Bt] output tile. Fully static addressing (a
+    fori_loop over dy with dynamic row loads measured 2.2x slower; a
+    per-(i,dy,dx) unroll matched this speed but compiled 5x slower).
+    """
+    half = (ksize - factor) // 2  # blur half-width (composed kernel)
+    acc = jnp.zeros((out_h, out_w, bt), jnp.float32)
+    for dy in range(ksize):
+        q0, p = divmod(dy - half, factor)
+        stacked = rows_of(p, q0)                # [out_h, W, Bt]
+        left = stacked[:, 0:1]                  # image col 0   (v = 0)
+        right = stacked[:, w - 1 : w]           # image col W-1 (v = W-1)
+        for dx in range(ksize):
+            q, r = divmod(dx - half, factor)
+            kval = k_ref[0, k_base + dy * ksize + dx]
+            base = stacked[:, r * out_w : (r + 1) * out_w]  # [out_h,out_w,bt]
+            if q == 0:
+                shifted = base
+            elif q == -1:
+                shifted = jnp.concatenate([left, base[:, : out_w - 1]], axis=1)
+            elif q == 1:
+                shifted = jnp.concatenate([base[:, 1:], right], axis=1)
+            else:
+                raise NotImplementedError(
+                    f"kernel span {ksize} > 3*factor {factor}"
+                )
+            acc = acc + kval * shifted
+    return acc
+
+
 def _degrade_kernel_v3(
     x_ref, p_ref, k_ref, out_ref, xp_ref, *,
     factor: int, ksize: int, h: int, w: int, out_h: int, out_w: int,
@@ -207,7 +244,6 @@ def _degrade_kernel_v3(
 
     The input crosses HBM exactly once with its natural layout.
     """
-    half = (ksize - factor) // 2  # blur half-width (composed kernel)
     bt = x_ref.shape[-1]
     # MXU pass per row: permute columns w -> (w % f) * out_w + (w // f).
     # A naive DEFAULT pass would round the image through bf16 (measured
@@ -235,37 +271,176 @@ def _degrade_kernel_v3(
         xp_ref[p, 0] = xp_ref[0, 1]
         xp_ref[p, out_h + 1] = xp_ref[(h - 1) % factor, 1 + (h - 1) // factor]
     k_base = pl.program_id(0) * ksize * ksize
-    # Vectorize over output ROWS: every (dy, dx) tap is ONE fma over the
-    # whole [out_h, out_w, Bt] output tile. Fully static addressing (a
-    # fori_loop over dy with dynamic row loads measured 2.2x slower; a
-    # per-(i,dy,dx) unroll matched this speed but compiled 5x slower).
-    acc = jnp.zeros((out_h, out_w, bt), jnp.float32)
-    for dy in range(ksize):
-        q0, p = divmod(dy - half, factor)
-        stacked = xp_ref[p, q0 + 1 : q0 + 1 + out_h]  # [out_h, W, Bt]
-        left = stacked[:, 0:1]                  # image col 0   (v = 0)
-        right = stacked[:, w - 1 : w]           # image col W-1 (v = W-1)
-        for dx in range(ksize):
-            q, r = divmod(dx - half, factor)
-            kval = k_ref[0, k_base + dy * ksize + dx]
-            base = stacked[:, r * out_w : (r + 1) * out_w]  # [out_h,out_w,bt]
-            if q == 0:
-                shifted = base
-            elif q == -1:
-                shifted = jnp.concatenate([left, base[:, : out_w - 1]], axis=1)
-            elif q == 1:
-                shifted = jnp.concatenate([base[:, 1:], right], axis=1)
-            else:
-                raise NotImplementedError(
-                    f"kernel span {ksize} > 3*factor {factor}"
-                )
-            acc = acc + kval * shifted
-    out_ref[0] = acc
+    out_ref[0] = _tap_lattice(
+        lambda p, q0: xp_ref[p, q0 + 1 : q0 + 1 + out_h],
+        k_ref, k_base,
+        factor=factor, ksize=ksize, w=w, out_h=out_h, out_w=out_w, bt=bt,
+    )
 
 
 def _degrade_noise_kernel_v3(x_ref, p_ref, k_ref, n_ref, out_ref, xp_ref, **kw):
     _degrade_kernel_v3(x_ref, p_ref, k_ref, out_ref, xp_ref, **kw)
     out_ref[0] = out_ref[0] + n_ref[0]
+
+
+def _degrade_kernel_v3ps(
+    x_ref, k_ref, out_ref, *,
+    factor: int, ksize: int, w: int, out_h: int, out_w: int,
+):
+    """Pre-split variant: the input arrives in the PHASE-SPLIT layout
+    v3 builds in its scratch — [f, out_h+2, W, Bt] per channel, columns
+    permuted to v = (x % f)*out_w + x//f and ONE replicate halo row at
+    each end of the row axis — so the kernel is the bare tap lattice:
+    no permutation matmuls, no scratch, no halo writes. The layout is
+    produced for free by the native loader (it writes gathered batches
+    in whatever order, `runtime/csrc/patch_loader.cpp`) or once per
+    pool by `phase_split_chwb`.
+
+    bf16-stored inputs are consumed directly: each tap's fma promotes to
+    the f32 accumulator (no explicit astype — an unconditional copy
+    measured a 22% slowdown, see NOTES_r2)."""
+    bt = x_ref.shape[-1]
+    k_base = pl.program_id(0) * ksize * ksize
+    out_ref[0] = _tap_lattice(
+        lambda p, q0: x_ref[0, p, q0 + 1 : q0 + 1 + out_h],
+        k_ref, k_base,
+        factor=factor, ksize=ksize, w=w, out_h=out_h, out_w=out_w, bt=bt,
+    )
+
+
+def _degrade_noise_kernel_v3ps(x_ref, k_ref, n_ref, out_ref, **kw):
+    _degrade_kernel_v3ps(x_ref, k_ref, out_ref, **kw)
+    out_ref[0] = out_ref[0] + n_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("factor",))
+def phase_split_chwb(x: jax.Array, factor: int = 8) -> jax.Array:
+    """[C, H, W, B] -> the pre-split degrade layout
+    [C, f, H/f + 2, W, B]: rows regrouped by row-phase p = y % f, columns
+    permuted to v = (x % f)*(W/f) + x//f (each column phase contiguous),
+    plus one replicate halo row per end (image rows 0 and H-1) so every
+    stride-f tap of the composed stencil is a contiguous slice.
+
+    All moved dims are middle/sublane dims (the lane dim B is untouched),
+    so XLA lowers this at copy speed (NOTES_r2: swap-last-two + mid
+    permutes run at copy speed; minor-dim splits lane-pad 128/f-fold).
+    """
+    c, h, w, b = x.shape
+    if h % factor or w % factor:
+        raise ValueError(f"H, W must be multiples of factor: {(h, w, factor)}")
+    out_h, out_w = h // factor, w // factor
+    xr = x.reshape(c, out_h, factor, out_w, factor, b)
+    xp = jnp.transpose(xr, (0, 2, 1, 4, 3, 5)).reshape(c, factor, out_h, w, b)
+    top = jnp.broadcast_to(xp[:, 0:1, 0:1], (c, factor, 1, w, b))
+    bot = jnp.broadcast_to(
+        xp[:, factor - 1 : factor, out_h - 1 : out_h], (c, factor, 1, w, b)
+    )
+    return jnp.concatenate([top, xp, bot], axis=2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("factor", "batch_tile", "interpret")
+)
+def degrade_pallas_presplit(
+    xp: jax.Array,
+    kernel: jax.Array,
+    noise: jax.Array | None = None,
+    factor: int = 8,
+    batch_tile: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused degrade on PRE-SPLIT factory data (see `phase_split_chwb`).
+
+    xp: [C, f, H/f + 2, W, B] phase-split with baked halo rows; kernel:
+    [C, kh, kw]; noise: optional [C, H/f, W/f, B]. Returns
+    [C, H/f, W/f, B], identical to `degrade_pallas_chwb` on the
+    un-split input (same composed stencil, same clamped-tap replicate
+    padding).
+
+    This is the bandwidth-roof path: v3 spends its non-lattice cycles on
+    the in-kernel column-permutation matmuls and scratch traffic; here
+    the layout work happened upstream (native loader / one-time pool
+    split), so the kernel is the pure 400-tap VPU lattice. The halo rows
+    cost (f + 2)/f more input bytes at H=64/f=8 (+25%), still under the
+    HBM roof at the measured rates.
+    """
+    c, f, hrows, w, b = xp.shape
+    if f != factor:
+        raise ValueError(f"xp phase dim {f} != factor {factor}")
+    out_h, out_w = hrows - 2, w // factor
+    if w % factor:
+        raise ValueError(f"W must be a multiple of factor: {(w, factor)}")
+    if batch_tile is None:
+        batch_tile = (
+            2 * LANE
+            if (b % (2 * LANE) == 0 and out_h * factor * w <= 64 * 64)
+            else LANE
+        )
+    if b % batch_tile:
+        raise ValueError(f"batch {b} must be a multiple of batch_tile {batch_tile}")
+    if kernel.shape[-1] != kernel.shape[-2]:
+        raise ValueError(
+            f"the fused kernels assume square blur kernels, got "
+            f"{kernel.shape[-2]}x{kernel.shape[-1]} (use ops.degrade instead)"
+        )
+    comp = compose_with_box(normalize_kernel(kernel), factor)  # [C, K, K]
+    ksize = comp.shape[-1]
+    if ksize > 3 * factor:
+        raise ValueError(
+            f"pre-split degrade supports kernel span <= 3*factor, got "
+            f"{ksize} > {3 * factor}"
+        )
+    grid = (c, b // batch_tile)
+    in_specs = [
+        pl.BlockSpec(
+            (1, factor, hrows, w, batch_tile),
+            lambda ci, bi: (ci, 0, 0, 0, bi),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, c * ksize * ksize),
+            lambda ci, bi: (0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    operands = [xp, comp.reshape(1, c * ksize * ksize)]
+    kern = _degrade_kernel_v3ps
+    if noise is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, out_h, out_w, batch_tile),
+                lambda ci, bi: (ci, 0, 0, bi),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(noise)
+        kern = _degrade_noise_kernel_v3ps
+    return pl.pallas_call(
+        functools.partial(
+            kern, factor=factor, ksize=ksize, w=w, out_h=out_h, out_w=out_w,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, out_h, out_w, batch_tile),
+            lambda ci, bi: (ci, 0, 0, bi),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, out_h, out_w, b), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c * out_h * out_w * b * ksize * ksize,
+            bytes_accessed=xp.size * xp.dtype.itemsize
+            + c * out_h * out_w * b * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            # default 16 MB scoped-vmem cap binds at batch_tile>=256
+            # (v5e has 128 MB of VMEM)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
 
 
 def _degrade_kernel_v4(x_ref, ah_ref, al_ref, out_ref, *,

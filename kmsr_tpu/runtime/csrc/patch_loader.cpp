@@ -77,6 +77,19 @@ bool parse_npy_header(const std::string& path, uint64_t expect_floats,
   return true;
 }
 
+// Pre-split output layout parameters (factor > 0 selects split mode).
+// The gathered batch is written as [C, f, H/f + 2, W, B] — the layout
+// `ops.degrade_pallas.degrade_pallas_presplit` consumes directly: rows
+// regrouped by row-phase p = y % f, columns permuted to
+// v = (x % f)*(W/f) + x//f, one replicate halo row (image rows 0 / H-1)
+// at each end of the row axis, batch in the minor (lane) dimension.
+// Assembling this order costs the host nothing extra: a CHWB batch
+// buffer is a scatter per patch either way, this is just a different
+// write order.
+struct SplitSpec {
+  int c = 0, h = 0, w = 0, factor = 0;
+};
+
 struct Loader {
   std::vector<NpyInfo> files;
   uint64_t patch_floats = 0;
@@ -87,6 +100,7 @@ struct Loader {
   std::thread prefetch_thread;
   std::vector<int64_t> pending_indices;
   float* pending_out = nullptr;
+  SplitSpec pending_split;
   std::atomic<bool> prefetch_running{false};
   std::atomic<int> prefetch_status{0};
 
@@ -108,7 +122,45 @@ struct Loader {
     return ok;
   }
 
-  bool gather(const int64_t* indices, int n, float* out) {
+  // Scatter one [C, H, W] patch (in `src`) into batch column `i` of the
+  // pre-split [C, f, H/f + 2, W, B] buffer `out`.
+  static void scatter_split(const float* src, float* out, int i, int n,
+                            const SplitSpec& s) {
+    const int out_h = s.h / s.factor;
+    const int out_w = s.w / s.factor;
+    const uint64_t row_floats = (uint64_t)s.w * n;
+    for (int ci = 0; ci < s.c; ++ci) {
+      const float* plane = src + (uint64_t)ci * s.h * s.w;
+      float* oc = out + (uint64_t)ci * s.factor * (out_h + 2) * row_floats;
+      for (int y = -1; y <= s.h; ++y) {
+        // y == -1 / y == h are the replicate halo rows; they duplicate
+        // image rows 0 / h-1 into row slot 0 / out_h+1 of EVERY phase.
+        const int ysrc = y < 0 ? 0 : (y >= s.h ? s.h - 1 : y);
+        const float* row = plane + (uint64_t)ysrc * s.w;
+        const int p_lo = (y < 0 || y >= s.h) ? 0 : y % s.factor;
+        const int p_hi = (y < 0 || y >= s.h) ? s.factor - 1 : p_lo;
+        const int slot = y < 0 ? 0 : (y >= s.h ? out_h + 1 : 1 + y / s.factor);
+        for (int p = p_lo; p <= p_hi; ++p) {
+          float* orow = oc + ((uint64_t)p * (out_h + 2) + slot) * row_floats;
+          for (int dxi = 0; dxi < s.factor; ++dxi) {
+            const float* sx = row + dxi;                     // stride f
+            float* ox = orow + (uint64_t)dxi * out_w * n + i;  // stride n
+            for (int j = 0; j < out_w; ++j) ox[(uint64_t)j * n] = sx[(uint64_t)j * s.factor];
+          }
+        }
+      }
+    }
+  }
+
+  bool gather(const int64_t* indices, int n, float* out,
+              const SplitSpec& split) {
+    if (split.factor > 0) {
+      if ((uint64_t)split.c * split.h * split.w != patch_floats ||
+          split.h % split.factor || split.w % split.factor) {
+        last_error = "split spec does not match patch shape";
+        return false;
+      }
+    }
     std::atomic<int> next{0};
     std::atomic<bool> ok{true};
     int workers = std::min(n_threads, n);
@@ -116,9 +168,14 @@ struct Loader {
     pool.reserve(workers);
     for (int w = 0; w < workers; ++w) {
       pool.emplace_back([&] {
+        std::vector<float> staging;
+        if (split.factor > 0) staging.resize(patch_floats);
         int i;
         while ((i = next.fetch_add(1)) < n) {
-          if (!read_one(indices[i], out + (uint64_t)i * patch_floats)) {
+          if (split.factor > 0) {
+            if (!read_one(indices[i], staging.data())) { ok = false; return; }
+            scatter_split(staging.data(), out, i, n, split);
+          } else if (!read_one(indices[i], out + (uint64_t)i * patch_floats)) {
             ok = false;
             return;
           }
@@ -155,7 +212,16 @@ void* kmsr_loader_create(const char** paths, int n_paths, int64_t patch_floats,
 
 int kmsr_loader_gather(void* handle, const int64_t* indices, int n, float* out) {
   auto* ld = static_cast<Loader*>(handle);
-  return ld->gather(indices, n, out) ? 0 : 1;
+  return ld->gather(indices, n, out, SplitSpec{}) ? 0 : 1;
+}
+
+// Gather straight into the pre-split degrade layout [C, f, H/f+2, W, n]
+// (see SplitSpec above); patches must be [c, h, w] with c*h*w matching
+// the loader's patch_floats.
+int kmsr_loader_gather_split(void* handle, const int64_t* indices, int n,
+                             int c, int h, int w, int factor, float* out) {
+  auto* ld = static_cast<Loader*>(handle);
+  return ld->gather(indices, n, out, SplitSpec{c, h, w, factor}) ? 0 : 1;
 }
 
 // Start asynchronously gathering `indices` into `out` (caller keeps both
@@ -165,10 +231,30 @@ int kmsr_loader_prefetch(void* handle, const int64_t* indices, int n, float* out
   if (ld->prefetch_running.load()) return 2;  // one prefetch at a time
   ld->pending_indices.assign(indices, indices + n);
   ld->pending_out = out;
+  ld->pending_split = SplitSpec{};
   ld->prefetch_running = true;
   ld->prefetch_status = -1;
   ld->prefetch_thread = std::thread([ld, n] {
-    bool ok = ld->gather(ld->pending_indices.data(), n, ld->pending_out);
+    bool ok = ld->gather(ld->pending_indices.data(), n, ld->pending_out,
+                         ld->pending_split);
+    ld->prefetch_status = ok ? 0 : 1;
+    ld->prefetch_running = false;
+  });
+  return 0;
+}
+
+int kmsr_loader_prefetch_split(void* handle, const int64_t* indices, int n,
+                               int c, int h, int w, int factor, float* out) {
+  auto* ld = static_cast<Loader*>(handle);
+  if (ld->prefetch_running.load()) return 2;  // one prefetch at a time
+  ld->pending_indices.assign(indices, indices + n);
+  ld->pending_out = out;
+  ld->pending_split = SplitSpec{c, h, w, factor};
+  ld->prefetch_running = true;
+  ld->prefetch_status = -1;
+  ld->prefetch_thread = std::thread([ld, n] {
+    bool ok = ld->gather(ld->pending_indices.data(), n, ld->pending_out,
+                         ld->pending_split);
     ld->prefetch_status = ok ? 0 : 1;
     ld->prefetch_running = false;
   });

@@ -63,6 +63,15 @@ def _get_lib() -> ctypes.CDLL:
             ]
             lib.kmsr_loader_prefetch.restype = ctypes.c_int
             lib.kmsr_loader_prefetch.argtypes = lib.kmsr_loader_gather.argtypes
+            split_args = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.kmsr_loader_gather_split.restype = ctypes.c_int
+            lib.kmsr_loader_gather_split.argtypes = split_args
+            lib.kmsr_loader_prefetch_split.restype = ctypes.c_int
+            lib.kmsr_loader_prefetch_split.argtypes = split_args
             lib.kmsr_loader_wait.restype = ctypes.c_int
             lib.kmsr_loader_wait.argtypes = [ctypes.c_void_p]
             lib.kmsr_loader_num_files.restype = ctypes.c_int64
@@ -125,6 +134,56 @@ class NativePatchLoader:
         if rc != 0:
             raise IOError(f"native gather failed: {self._err()}")
         return out
+
+    def _split_dims(self, factor: int) -> tuple[int, int, int]:
+        if len(self.shape) != 3:
+            raise ValueError(
+                f"split gather needs [C, H, W] patches, loader shape is {self.shape}"
+            )
+        c, h, w = self.shape
+        if h % factor or w % factor:
+            raise ValueError(f"H, W must be multiples of factor: {(h, w, factor)}")
+        return c, h, w
+
+    def gather_split(self, indices: np.ndarray, factor: int = 8) -> np.ndarray:
+        """Gather straight into the pre-split degrade layout
+        [C, f, H/f + 2, W, B] consumed by
+        `ops.degrade_pallas.degrade_pallas_presplit` (column phases
+        contiguous, replicate halo rows baked, batch in lanes). Costs the
+        host the same work as a CHWB assembly — only the write order
+        differs — and saves the device the in-kernel permutation."""
+        c, h, w = self._split_dims(factor)
+        indices = np.ascontiguousarray(indices, dtype=np.int64)
+        out = np.empty(
+            (c, factor, h // factor + 2, w, len(indices)), np.float32
+        )
+        rc = self._lib.kmsr_loader_gather_split(
+            self._handle,
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(indices), c, h, w, factor,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise IOError(f"native split gather failed: {self._err()}")
+        return out
+
+    def prefetch_split(self, indices: np.ndarray, factor: int = 8) -> None:
+        if self._pending is not None:
+            raise RuntimeError("a prefetch is already in flight")
+        c, h, w = self._split_dims(factor)
+        indices = np.ascontiguousarray(indices, dtype=np.int64)
+        out = np.empty(
+            (c, factor, h // factor + 2, w, len(indices)), np.float32
+        )
+        rc = self._lib.kmsr_loader_prefetch_split(
+            self._handle,
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(indices), c, h, w, factor,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise IOError(f"native split prefetch failed (rc={rc}): {self._err()}")
+        self._pending = (indices, out)
 
     def prefetch(self, indices: np.ndarray) -> None:
         if self._pending is not None:

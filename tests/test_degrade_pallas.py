@@ -161,3 +161,63 @@ def test_pallas_v4_dense_mxu_stencil(rng):
     fused = np.asarray(degrade_pallas_chwb(
         xc, kernel, noise=noise, factor=4, interpret=True, version=4))
     np.testing.assert_allclose(fused, base + np.asarray(noise), atol=1e-6)
+
+
+def test_presplit_matches_chwb(rng):
+    """Pre-split layout path ≡ natural-layout v3 (bit-exact: same lattice,
+    same clamped-tap replicate padding — only the layout work moves
+    upstream)."""
+    from kmsr_tpu.ops.degrade_pallas import (
+        degrade_pallas_presplit,
+        phase_split_chwb,
+    )
+
+    x = jnp.asarray(rng.normal(5, 2, size=(2, 32, 32, 8)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(2, 13, 13)).astype(np.float32))
+    noise = jnp.asarray(rng.normal(0, 0.1, size=(2, 4, 4, 8)).astype(np.float32))
+    want = np.asarray(
+        degrade_pallas_chwb(x, kernel, noise=noise, factor=8, batch_tile=8,
+                            interpret=True)
+    )
+    xp = phase_split_chwb(x, factor=8)
+    assert xp.shape == (2, 8, 32 // 8 + 2, 32, 8)
+    got = np.asarray(
+        degrade_pallas_presplit(xp, kernel, noise=noise, factor=8,
+                                batch_tile=8, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_presplit_matches_native_loader_layout(rng, tmp_path):
+    """The C++ loader's split gather feeds degrade_pallas_presplit
+    directly: end-to-end .npy files -> native split batch -> kernel
+    matches the XLA reference degrade."""
+    pytest.importorskip("ctypes")
+    from kmsr_tpu.ops.degrade_pallas import degrade_pallas_presplit
+    from kmsr_tpu.runtime import NativeLoaderUnavailable, NativePatchLoader
+
+    arrays = [
+        rng.normal(5, 2, size=(2, 16, 16)).astype(np.float32) for _ in range(4)
+    ]
+    paths = []
+    for i, a in enumerate(arrays):
+        p = tmp_path / f"p{i}.npy"
+        np.save(p, a)
+        paths.append(str(p))
+    try:
+        loader = NativePatchLoader(paths, shape=(2, 16, 16), n_threads=2)
+    except NativeLoaderUnavailable as e:
+        pytest.skip(f"no native toolchain: {e}")
+    idx = np.array([1, 3, 0, 2], np.int64)
+    xp = jnp.asarray(loader.gather_split(idx, factor=4))
+    loader.close()
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(2, 7, 7)).astype(np.float32))
+    got = np.asarray(
+        degrade_pallas_presplit(xp, kernel, factor=4, batch_tile=4,
+                                interpret=True)
+    )
+    img = jnp.asarray(np.stack([arrays[i] for i in idx]))  # [B, C, H, W]
+    want = np.asarray(degrade(img, kernel, factor=4))
+    np.testing.assert_allclose(
+        got, np.transpose(want, (1, 2, 3, 0)), rtol=1e-4, atol=1e-5
+    )

@@ -64,3 +64,35 @@ def test_create_rejects_wrong_dtype(tmp_path):
     np.save(tmp_path / "bad.npy", np.zeros((5, 16, 16), np.float64))
     with pytest.raises((NativeLoaderUnavailable, IOError)):
         NativePatchLoader([str(tmp_path / "bad.npy")], shape=(5, 16, 16))
+
+
+def test_gather_split_layout(npy_dir):
+    """Split gather emits the pre-split degrade layout [C, f, H/f+2, W, B]:
+    column phases contiguous, replicate halo rows baked, batch minor —
+    exactly `ops.degrade_pallas.phase_split_chwb` of the natural gather."""
+    loader = make_loader(npy_dir)
+    _, arrays = npy_dir
+    idx = np.array([4, 1, 8], np.int64)
+    f = 4
+    sp = loader.gather_split(idx, factor=f)
+    c, h, w = 5, 16, 16
+    assert sp.shape == (c, f, h // f + 2, w, len(idx))
+    x = np.stack([arrays[i] for i in idx], axis=-1)  # [C, H, W, B]
+    out_h, out_w = h // f, w // f
+    xr = x.reshape(c, out_h, f, out_w, f, len(idx))
+    xp = np.transpose(xr, (0, 2, 1, 4, 3, 5)).reshape(c, f, out_h, w, len(idx))
+    np.testing.assert_array_equal(sp[:, :, 1:-1], xp)
+    for p in range(f):  # halos: image row 0 / h-1 in every phase
+        np.testing.assert_array_equal(sp[:, p, 0], xp[:, 0, 0])
+        np.testing.assert_array_equal(sp[:, p, -1], xp[:, f - 1, out_h - 1])
+    # prefetch variant returns the same buffer
+    loader.prefetch_split(idx, factor=f)
+    np.testing.assert_array_equal(loader.wait(), sp)
+    loader.close()
+
+
+def test_gather_split_rejects_bad_factor(npy_dir):
+    loader = make_loader(npy_dir)
+    with pytest.raises(ValueError):
+        loader.gather_split(np.array([0], np.int64), factor=5)  # 16 % 5
+    loader.close()
