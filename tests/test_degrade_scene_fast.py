@@ -171,3 +171,65 @@ def test_slab_halo_contract():
     assert top == 8 and bot == 8
     top, bot = slab_halo(3, 7)  # f=3, k=5: half=2 -> nb=1
     assert top == 3 and (top + bot) % 3 == 0 and bot >= 5
+
+
+# ---------------------------------------------------------------------------
+# tiles-in-lanes scene path (ops.degrade_scene_tiles)
+
+
+def test_scene_to_tiles_ext_definition(rng):
+    """Extended tile layout: sublanes [hl(f) | permuted tile | hr(f)] with
+    true neighbor columns (replicate at the global edges)."""
+    from kmsr_tpu.ops.degrade_scene_tiles import scene_to_tiles_ext
+
+    c, h, w, f, wt = 2, 16, 32, 4, 16
+    x = rng.normal(size=(c, h, w)).astype(np.float32)
+    ext = np.asarray(scene_to_tiles_ext(jnp.asarray(x), f, wt))
+    t, out_h, out_wt = w // wt, h // f, wt // f
+    assert ext.shape == (c, f, out_h, 2 * f + wt, t)
+    for p in range(f):
+        for i in range(out_h):
+            for ti in range(t):
+                for r in range(f):
+                    np.testing.assert_array_equal(
+                        ext[:, p, i, r, ti],
+                        x[:, f * i + p, max(wt * ti - f + r, 0)],
+                    )
+                    np.testing.assert_array_equal(
+                        ext[:, p, i, f + wt + r, ti],
+                        x[:, f * i + p, min(wt * (ti + 1) + r, w - 1)],
+                    )
+                for dxi in range(f):
+                    for j in range(out_wt):
+                        np.testing.assert_array_equal(
+                            ext[:, p, i, f + dxi * out_wt + j, ti],
+                            x[:, f * i + p, wt * ti + f * j + dxi],
+                        )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "c,h,w,f,wt,k", [(2, 64, 128, 8, 64, 13), (1, 32, 96, 4, 16, 7)]
+)
+def test_scene_tiles_matches_conv(rng, c, h, w, f, wt, k):
+    """Tiles-in-lanes kernel ≡ replicate-pad + strided conv, including
+    tile seams (true neighbor columns) and global edges (no strips)."""
+    from kmsr_tpu.ops.degrade_scene_tiles import degrade_scene_tiles
+
+    scene = jnp.asarray(rng.normal(5, 2, (c, h, w)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, (c, k, k)).astype(np.float32))
+    want = np.asarray(_oracle(scene, kernel, f))
+    comp = compose_with_box(normalize_kernel(kernel), f)
+    got = np.asarray(
+        degrade_scene_tiles(scene, comp, factor=f, wt=wt, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_scene_tiles_span_gate(rng):
+    from kmsr_tpu.ops.degrade_scene_tiles import degrade_scene_tiles
+
+    scene = jnp.asarray(rng.normal(size=(1, 32, 32)).astype(np.float32))
+    comp = jnp.ones((1, 25, 25), np.float32) / 625.0  # span > 3*factor
+    with pytest.raises(ValueError):
+        degrade_scene_tiles(scene, comp, factor=4, wt=16, interpret=True)
