@@ -10,6 +10,13 @@ from .degrade import (
     compose_with_box,
 )
 from .kernel_algebra import compose_chain, compose_pair, effective_kernel, full_conv2d
+from .degrade_pallas import (
+    degrade_pallas,
+    degrade_pallas_chwb,
+    degrade_pallas_presplit,
+    phase_split_chwb,
+)
+from .degrade_scene_tiles import degrade_scene_tiles, scene_to_tiles_ext
 
 # The fastest fused degrade path (bench.py and apply_kernel use this
 # alias). Measured on v5e at batch 8192: the strided-conv XLA path wins

@@ -84,6 +84,32 @@ def scene_to_tiles_ext(x: jax.Array, factor: int, wt: int) -> jax.Array:
     return jnp.concatenate([hl, tiles, hr], axis=3)
 
 
+def rows_to_tiles_ext(rows: jax.Array, factor: int, wt: int) -> jax.Array:
+    """Column-only version of `scene_to_tiles_ext` for THIN row halos:
+    [C, n, W] -> [C, n, 2f + Wt, W/Wt] (each given row permuted into the
+    extended tile layout; no row-phase grouping)."""
+    c, n, w = rows.shape
+    if w % wt or wt % factor:
+        raise ValueError(f"need W%Wt==0, Wt%f==0: {(w, wt, factor)}")
+    t, out_wt = w // wt, wt // factor
+    body = rows.reshape(c, n, t, out_wt, factor)
+    body = jnp.transpose(body, (0, 1, 4, 3, 2)).reshape(c, n, wt, t)
+    rep_l = jnp.broadcast_to(body[:, :, 0:1, 0:1], (c, n, factor, 1))
+    rep_r = jnp.broadcast_to(
+        body[:, :, wt - 1 : wt, t - 1 : t], (c, n, factor, 1)
+    )
+    if t > 1:
+        l = rows[:, :, wt - factor : w - factor].reshape(c, n, t - 1, wt)[
+            ..., :factor
+        ]
+        hl = jnp.concatenate([rep_l, jnp.transpose(l, (0, 1, 3, 2))], axis=-1)
+        r = rows[:, :, wt:].reshape(c, n, t - 1, wt)[..., :factor]
+        hr = jnp.concatenate([jnp.transpose(r, (0, 1, 3, 2)), rep_r], axis=-1)
+    else:
+        hl, hr = rep_l, rep_r
+    return jnp.concatenate([hl, body, hr], axis=2)
+
+
 def _prev_next_rows(ext: jax.Array, factor: int, rt: int):
     """Thin row-halo arrays [C, f, out_h/rt, 2f+Wt, T]: entry ti holds
     presplit row (p, ti*rt - 1) / (p, ti*rt + rt), with the global-edge
@@ -201,11 +227,34 @@ def degrade_scene_tiles(
         raise ValueError(
             f"no legal tiling: {(h, w, wt, factor, rt, batch_tile)}"
         )
-    we = 2 * factor + wt
     ext = scene_to_tiles_ext(x, factor, wt)
     prev, nxt = _prev_next_rows(ext, factor, rt)
+    out = _tiles_pallas(
+        ext, prev, nxt, comp, factor, wt, rt, batch_tile, interpret
+    )
+    # [C, out_h, out_wt, T] -> [C, out_h, W/f]: last-two swap (copy speed)
+    return jnp.swapaxes(out, 2, 3).reshape(c, out_h, w // factor)
+
+
+def _tiles_pallas(
+    ext: jax.Array,
+    prev: jax.Array,
+    nxt: jax.Array,
+    comp: jax.Array,
+    factor: int,
+    wt: int,
+    rt: int,
+    batch_tile: int,
+    interpret: bool,
+) -> jax.Array:
+    """The Mosaic pass shared by `degrade_scene_tiles` (replicate row
+    halos) and `degrade_rows_tiles` (real neighbor row halos). Returns
+    the tiled output [C, out_h, Wt/f, T]."""
+    c, _, out_h, we, t = ext.shape
+    ksize = comp.shape[-1]
+    out_wt = wt // factor
     grid = (c, out_h // rt, t // batch_tile)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
             _degrade_kernel_tiles,
             factor=factor, ksize=ksize, wt=wt, out_wt=out_wt, rt=rt,
@@ -250,5 +299,78 @@ def degrade_scene_tiles(
         ),
         interpret=interpret,
     )(ext, prev, nxt, comp.reshape(1, c * ksize * ksize).astype(jnp.float32))
-    # [C, out_h, out_wt, T] -> [C, out_h, W/f]: last-two swap (copy speed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("factor", "wt", "batch_tile", "interpret", "rt_target"),
+)
+def degrade_rows_tiles(
+    x: jax.Array,
+    comp: jax.Array,
+    factor: int,
+    top_rows: jax.Array,
+    bot_rows: jax.Array,
+    wt: int = 64,
+    batch_tile: int | None = None,
+    interpret: bool = False,
+    rt_target: int = 64,
+) -> jax.Array:
+    """`degrade_rows_fast`-contract variant of the tiles path: degrade a
+    RAW row slab given thin real halos (sharded neighbors via ppermute,
+    or edge-replicated rows at the global edges).
+
+    x: [C, Hs, W]; top_rows/bot_rows: [C, >=half, W] / [C, >=K-half-f, W]
+    of neighbor or edge content (same contract as
+    `degrade_scene_fast.halo_rows`). Returns [C, Hs/f, W/f].
+
+    The halo rows only enter the first `prev` / last `next` entry of the
+    thin row-halo arrays — everything else is `degrade_scene_tiles`.
+    """
+    c, h, w = x.shape
+    ksize = comp.shape[-1]
+    half = (ksize - factor) // 2
+    bh = ksize - half - factor
+    if ksize > 3 * factor:
+        raise ValueError(
+            f"tiles path supports kernel span <= 3*factor, got "
+            f"{ksize} > {3 * factor}"
+        )
+    if top_rows.shape[1] < half or bot_rows.shape[1] < max(bh, 0):
+        raise ValueError(
+            f"halos too thin: need ({half}, {bh}), "
+            f"got ({top_rows.shape[1]}, {bot_rows.shape[1]})"
+        )
+    t, out_h = w // wt, h // factor
+    rt = _pick_rt(out_h, rt_target)
+    if batch_tile is None:
+        batch_tile = LANE if t % LANE == 0 else t
+    if (h % factor or w % wt or wt % factor or rt is None
+            or t % batch_tile):
+        raise ValueError(
+            f"no legal tiling: {(h, w, wt, factor, rt, batch_tile)}"
+        )
+    ext = scene_to_tiles_ext(x, factor, wt)
+    prev, nxt = _prev_next_rows(ext, factor, rt)
+    if half > 0:
+        # prev[., p, 0] must hold permuted image row p - f (read only for
+        # p >= f - half): top_rows' last `half` rows are image rows
+        # -half..-1, so row p - f sits at index (top - f + p); the clamp
+        # fills unread p.
+        top = top_rows.shape[1]
+        rte_top = rows_to_tiles_ext(top_rows, factor, wt)  # [C, top, we, T]
+        p_idx = jnp.clip(jnp.arange(factor) + top - factor, 0, top - 1)
+        prev0 = jnp.take(rte_top, p_idx, axis=1)[:, :, None]
+        prev = jnp.concatenate([prev0, prev[:, :, 1:]], axis=2)
+    if bh > 0:
+        # next[., p, -1] must hold permuted image row Hs + p (read only
+        # for p < K - half - f): bot_rows starts at image row Hs.
+        bot = bot_rows.shape[1]
+        rte_bot = rows_to_tiles_ext(bot_rows, factor, wt)
+        n_idx = jnp.clip(jnp.arange(factor), 0, bot - 1)
+        nxt_last = jnp.take(rte_bot, n_idx, axis=1)[:, :, None]
+        nxt = jnp.concatenate([nxt[:, :, :-1], nxt_last], axis=2)
+    out = _tiles_pallas(
+        ext, prev, nxt, comp, factor, wt, rt, batch_tile, interpret
+    )
     return jnp.swapaxes(out, 2, 3).reshape(c, out_h, w // factor)

@@ -102,7 +102,33 @@ def degrade_scene_sharded(
     comp = compose_with_box(kernel, factor)  # [C, kh+f-1, kw+f-1]
     ksize = comp.shape[-1]
 
-    if impl == "fast":
+    if impl == "tiles":
+        # tiles-in-lanes path (ops.degrade_scene_tiles): every tap
+        # lane-aligned, exact seams, no strip convs. Needs the span and
+        # the tile geometry to fit; fall back to 'fast' otherwise.
+        from ..ops.degrade_scene_tiles import (
+            _pick_rt,
+            degrade_rows_tiles,
+        )
+
+        wt = 64
+        out_h_local = h // n // factor
+        if (ksize > 3 * factor or w % wt or wt % factor
+                or _pick_rt(out_h_local) is None or h // n % factor):
+            impl = "fast"
+    if impl == "tiles":
+        top, bot = halo_rows(factor, ksize)
+        local_tpu = next(iter(mesh.devices.flat)).platform == "tpu"
+
+        def local_fn(x_local, k_comp):
+            top_rows, bot_rows = _thin_halo(
+                x_local, max(top, 1), max(bot, 1), axis_name
+            )
+            return degrade_rows_tiles(
+                x_local, k_comp, factor, top_rows, bot_rows, wt=wt,
+                interpret=not local_tpu,
+            )
+    elif impl == "fast":
         top, bot = halo_rows(factor, ksize)
         # strip convs reach ksize-ish rows into the slab; thinner slabs
         # take the old path
@@ -138,8 +164,8 @@ def degrade_scene_sharded(
                 x_ext, ((0, 0), (0, 0), (kw // 2, kw // 2)), mode="edge"
             )
             return _degrade_slab(x_ext, k_comp, factor, ext=2 * halo)
-    else:
-        raise ValueError(f"impl must be fast|bands, got {impl!r}")
+    elif impl != "tiles":
+        raise ValueError(f"impl must be tiles|fast|bands, got {impl!r}")
 
     fn = shard_map(
         local_fn,

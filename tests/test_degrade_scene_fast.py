@@ -233,3 +233,32 @@ def test_scene_tiles_span_gate(rng):
     comp = jnp.ones((1, 25, 25), np.float32) / 625.0  # span > 3*factor
     with pytest.raises(ValueError):
         degrade_scene_tiles(scene, comp, factor=4, wt=16, interpret=True)
+
+
+@pytest.mark.slow
+def test_rows_tiles_neighbor_halos_tile_exactly(rng):
+    """degrade_rows_tiles on two row shards with real neighbor halos
+    reassembles to the whole-scene oracle exactly (same contract as
+    degrade_rows_fast)."""
+    from kmsr_tpu.ops.degrade_scene_tiles import degrade_rows_tiles
+
+    c, h, w, f, wt = 2, 128, 128, 8, 64
+    x = jnp.asarray(rng.normal(5, 2, (c, h, w)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, (c, 13, 13)).astype(np.float32))
+    comp = compose_with_box(normalize_kernel(kernel), f)
+    half = (comp.shape[-1] - f) // 2
+    bh = comp.shape[-1] - half - f
+    want = np.asarray(_oracle(x, kernel, f))
+    outs = []
+    for s0, s1 in [(0, h // 2), (h // 2, h)]:
+        top = (x[:, s0 - half : s0] if s0
+               else jnp.repeat(x[:, :1], half, axis=1))
+        bot = (x[:, s1 : s1 + bh] if s1 < h
+               else jnp.repeat(x[:, -1:], bh, axis=1))
+        outs.append(
+            degrade_rows_tiles(
+                x[:, s0:s1], comp, f, top, bot, wt=wt, interpret=True
+            )
+        )
+    got = np.asarray(jnp.concatenate(outs, axis=1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
