@@ -147,11 +147,13 @@ def _degrade_kernel_tiles(
         if q0 == 0:
             stacked = xm_ref[0, p]                      # [rt, 2f+Wt, Bt]
         elif q0 == -1:
-            stacked = jnp.concatenate(
+            # rt == 1 gates the empty xm slice at trace time (Pallas
+            # rejects zero-length slices)
+            stacked = xp_ref[0, p] if rt == 1 else jnp.concatenate(
                 [xp_ref[0, p], xm_ref[0, p, : rt - 1]], axis=0
             )
         elif q0 == 1:
-            stacked = jnp.concatenate(
+            stacked = xn_ref[0, p] if rt == 1 else jnp.concatenate(
                 [xm_ref[0, p, 1:], xn_ref[0, p]], axis=0
             )
         else:

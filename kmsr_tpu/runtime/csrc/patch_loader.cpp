@@ -224,14 +224,19 @@ int kmsr_loader_gather_split(void* handle, const int64_t* indices, int n,
   return ld->gather(indices, n, out, SplitSpec{c, h, w, factor}) ? 0 : 1;
 }
 
-// Start asynchronously gathering `indices` into `out` (caller keeps both
-// alive until kmsr_loader_wait returns).
-int kmsr_loader_prefetch(void* handle, const int64_t* indices, int n, float* out) {
-  auto* ld = static_cast<Loader*>(handle);
+namespace {
+
+// Shared async-prefetch setup. A finished-but-unjoined previous thread is
+// joined first: move-assigning onto a joinable std::thread would call
+// std::terminate (reachable from the C ABI by skipping kmsr_loader_wait
+// between two prefetch calls).
+int start_prefetch(Loader* ld, const int64_t* indices, int n, float* out,
+                   SplitSpec split) {
   if (ld->prefetch_running.load()) return 2;  // one prefetch at a time
+  if (ld->prefetch_thread.joinable()) ld->prefetch_thread.join();
   ld->pending_indices.assign(indices, indices + n);
   ld->pending_out = out;
-  ld->pending_split = SplitSpec{};
+  ld->pending_split = split;
   ld->prefetch_running = true;
   ld->prefetch_status = -1;
   ld->prefetch_thread = std::thread([ld, n] {
@@ -243,22 +248,19 @@ int kmsr_loader_prefetch(void* handle, const int64_t* indices, int n, float* out
   return 0;
 }
 
+}  // namespace
+
+// Start asynchronously gathering `indices` into `out` (caller keeps both
+// alive until kmsr_loader_wait returns).
+int kmsr_loader_prefetch(void* handle, const int64_t* indices, int n, float* out) {
+  return start_prefetch(static_cast<Loader*>(handle), indices, n, out,
+                        SplitSpec{});
+}
+
 int kmsr_loader_prefetch_split(void* handle, const int64_t* indices, int n,
                                int c, int h, int w, int factor, float* out) {
-  auto* ld = static_cast<Loader*>(handle);
-  if (ld->prefetch_running.load()) return 2;  // one prefetch at a time
-  ld->pending_indices.assign(indices, indices + n);
-  ld->pending_out = out;
-  ld->pending_split = SplitSpec{c, h, w, factor};
-  ld->prefetch_running = true;
-  ld->prefetch_status = -1;
-  ld->prefetch_thread = std::thread([ld, n] {
-    bool ok = ld->gather(ld->pending_indices.data(), n, ld->pending_out,
-                         ld->pending_split);
-    ld->prefetch_status = ok ? 0 : 1;
-    ld->prefetch_running = false;
-  });
-  return 0;
+  return start_prefetch(static_cast<Loader*>(handle), indices, n, out,
+                        SplitSpec{c, h, w, factor});
 }
 
 int kmsr_loader_wait(void* handle) {

@@ -43,35 +43,8 @@ def two_stage(x, factor, wt):
     )
 
 
-def fused_ext(x, factor, wt):
-    """The production candidate: tiles + baked column halos
-    [C, f, out_h, 2f + Wt, T] — sublanes are [hl(f) | tile cols | hr(f)]
-    where hl[r] = scene col Wt*t - f + r (prev tile, replicate at t=0)
-    and hr[r] = scene col Wt*(t+1) + r (next tile, replicate at t=T-1).
-    All three pieces are transposes of (slices of) x; XLA fuses the
-    concat into the same output pass."""
-    c, h, w = x.shape
-    t, out_h, out_wt = w // wt, h // factor, wt // factor
-    tiles = fused1(x, factor, wt)
-    # hl from the scene's columns Wt*t - f + r: slice cols [0, w-wt) at
-    # offset wt-f of each tile -> tile index shifts by one
-    lcols = x[:, :, wt - factor : w - factor].reshape(
-        c, out_h, factor, t - 1, wt
-    )[:, :, :, :, :factor]
-    hl_body = jnp.transpose(lcols, (0, 2, 1, 4, 3))  # [c, f, out_h, f, t-1]
-    rep_l = jnp.broadcast_to(
-        tiles[:, :, :, 0:1, 0:1], (c, factor, out_h, factor, 1)
-    )
-    hl = jnp.concatenate([rep_l, hl_body], axis=-1)
-    rcols = x[:, :, wt:].reshape(c, out_h, factor, t - 1, wt)[
-        :, :, :, :, :factor
-    ]
-    hr_body = jnp.transpose(rcols, (0, 2, 1, 4, 3))
-    rep_r = jnp.broadcast_to(
-        tiles[:, :, :, wt - 1 : wt, t - 1 : t], (c, factor, out_h, factor, 1)
-    )
-    hr = jnp.concatenate([hr_body, rep_r], axis=-1)
-    return jnp.concatenate([hl, tiles, hr], axis=3)
+# The production transform itself — benchmark the real code, not a copy
+from kmsr_tpu.ops.degrade_scene_tiles import scene_to_tiles_ext as fused_ext
 
 
 def main() -> None:

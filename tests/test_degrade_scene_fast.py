@@ -262,3 +262,19 @@ def test_rows_tiles_neighbor_halos_tile_exactly(rng):
         )
     got = np.asarray(jnp.concatenate(outs, axis=1))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_scene_tiles_single_row_tile(rng):
+    """out_h == rt == 1-per-shard geometry (regression: the q0=±1 row
+    stacks must not slice an empty range of a 1-row block)."""
+    from kmsr_tpu.ops.degrade_scene_tiles import degrade_scene_tiles
+
+    c, h, w, f, wt = 1, 8, 32, 8, 16  # out_h = 1 -> rt = 1
+    x = jnp.asarray(rng.normal(5, 2, (c, h, w)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, (c, 13, 13)).astype(np.float32))
+    want = np.asarray(_oracle(x, kernel, f))
+    comp = compose_with_box(normalize_kernel(kernel), f)
+    got = np.asarray(
+        degrade_scene_tiles(x, comp, factor=f, wt=wt, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
