@@ -95,6 +95,73 @@ def load_moe_for_factory(moe_path: str):
     return params, state0, False
 
 
+def _npy_split_batches(files, batch_size, shape, factor):
+    """Yield (paths, presplit_batch) per chunk via the native loader's
+    split gather (double-buffered prefetch), falling back to numpy load
+    + host transpose when no toolchain is available. The batch arrives
+    in the [C, f, H/f+2, W, B] layout `degrade_pallas_presplit` consumes
+    — the layout work costs the host nothing extra (write order), so the
+    device pass is the pure tap lattice."""
+    c, h, w = shape
+    idx_chunks = [
+        np.arange(i, min(i + batch_size, len(files)), dtype=np.int64)
+        for i in range(0, len(files), batch_size)
+    ]
+    loader = None
+    try:
+        from ..runtime import NativePatchLoader
+
+        loader = NativePatchLoader(files, shape=shape)
+    except Exception:
+        pass  # numpy fallback below
+
+    def np_split(idx):
+        """Per-file-isolated numpy fallback: (good_paths, batch, fails)."""
+        good, stacks, fails = [], [], []
+        for i in idx:
+            try:
+                a = np.load(files[i])
+                if a.shape != shape:
+                    raise ValueError(f"shape {a.shape} != {shape}")
+                stacks.append(np.asarray(a, np.float32))
+                good.append(files[i])
+            except Exception as e:
+                fails.append((files[i], str(e)))
+        if not stacks:
+            return good, None, fails
+        x = np.stack(stacks, axis=-1)  # [C, H, W, B]
+        oh = h // factor
+        xr = x.reshape(c, oh, factor, w // factor, factor, len(good))
+        xp = np.transpose(xr, (0, 2, 1, 4, 3, 5)).reshape(
+            c, factor, oh, w, len(good)
+        )
+        top = np.broadcast_to(xp[:, 0:1, 0:1], (c, factor, 1, w, len(good)))
+        bot = np.broadcast_to(
+            xp[:, factor - 1 :, oh - 1 : oh], (c, factor, 1, w, len(good))
+        )
+        return good, np.concatenate([top, xp, bot], axis=2), fails
+
+    try:
+        if loader is not None:
+            loader.prefetch_split(idx_chunks[0], factor=factor)
+        for k, idx in enumerate(idx_chunks):
+            buf = None
+            if loader is not None:
+                try:
+                    buf = loader.wait()
+                except Exception:
+                    buf = None  # re-read the chunk with per-file isolation
+                if k + 1 < len(idx_chunks):
+                    loader.prefetch_split(idx_chunks[k + 1], factor=factor)
+            if buf is not None:
+                yield [files[i] for i in idx], buf, []
+            else:
+                yield np_split(idx)
+    finally:
+        if loader is not None:
+            loader.close()
+
+
 def run_factory(
     input_dir: str,
     kernel_path: str | None,
@@ -108,6 +175,7 @@ def run_factory(
     progress: bool = True,
     moe_path: str | None = None,
     moe_noise: str = "pool",
+    input_format: str = "auto",
 ) -> RunReport:
     """moe_path switches the factory to content-adaptive mode: each HR
     patch is routed by the trained SelectorNet to its expert kernel
@@ -115,14 +183,33 @@ def run_factory(
     degraded with THAT kernel, instead of the reference C_31 behavior of
     collapsing the bank to one batch-mean kernel. moe_noise: 'pool'
     keeps the empirical noise-pool injection (E_ semantics); 'sigma'
-    uses the expert's learned per-band Gaussian sigma instead."""
+    uses the expert's learned per-band Gaussian sigma instead.
+
+    input_format: 'nc' (reference E_ contract: grouped NetCDF patches),
+    'npy' (raw [C, H, W] float32 patch dirs, the `cut --format npy` /
+    A_01 GOCI output — the reference has no factory route for these),
+    or 'auto' (npy iff the dir holds .npy files and no .nc). The npy
+    single-kernel Pallas route streams batches through the native
+    loader's SPLIT gather straight into `degrade_pallas_presplit` — the
+    host assembles the phase-split layout for free (write order), so
+    the device pass is the pure tap lattice."""
     t0 = time.time()
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if (moe_path is None) == (kernel_path is None):
         raise ValueError("exactly one of kernel_path / moe_path is required")
     pool = np.load(noise_pool_path).astype(np.float32)  # [N, C, h, w]
-    files = list_patch_files(input_dir, "*.nc")
+    if input_format == "auto":
+        import glob as _glob
+
+        has_npy = bool(_glob.glob(os.path.join(input_dir, "*.npy")))
+        has_nc = bool(_glob.glob(os.path.join(input_dir, "*.nc")))
+        input_format = "npy" if has_npy and not has_nc else "nc"
+    if input_format not in ("nc", "npy"):
+        raise ValueError(f"input_format must be auto|nc|npy, got {input_format!r}")
+    files = list_patch_files(
+        input_dir, "*.npy" if input_format == "npy" else "*.nc"
+    )
     os.makedirs(output_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -163,9 +250,71 @@ def run_factory(
         fn = jax.jit(moe_fn)
 
     ok, fail = [], []
+
+    if (input_format == "npy" and moe_path is None and backend == "pallas"
+            # presplit kernel needs composed span (kh + f - 1) <= 3f
+            and kernel.shape[-1] + factor - 1 <= 3 * factor):
+        # streaming presplit route: native split gather feeds the
+        # permutation-free kernel; see the docstring
+        from ..ops.degrade_pallas import LANE, degrade_pallas_presplit
+
+        interp = jax.default_backend() != "tpu"
+        shape = tuple(np.load(files[0], mmap_mode="r").shape)
+        if len(shape) != 3 or shape[1] % factor or shape[2] % factor:
+            raise ValueError(
+                f"npy patches must be [C, H, W] with H, W multiples of "
+                f"factor; got {shape}"
+            )
+        batches = _npy_split_batches(files, batch_size, shape, factor)
+        if progress:
+            try:
+                from tqdm import tqdm
+
+                batches = tqdm(
+                    batches, desc="factory", unit="batch",
+                    total=-(-len(files) // batch_size),
+                )
+            except ImportError:
+                pass
+        for paths, xp, chunk_fail in batches:
+            fail.extend(chunk_fail)
+            if xp is None:
+                continue
+            b = xp.shape[-1]
+            b_pad = -(-b // LANE) * LANE
+            noise_idx = rng.integers(0, pool.shape[0], size=b)
+            noise = np.transpose(pool[noise_idx], (1, 2, 3, 0))  # CHWB
+            if b_pad != b:
+                xp = np.pad(xp, [(0, 0)] * 4 + [(0, b_pad - b)])
+                noise = np.pad(noise, [(0, 0)] * 3 + [(0, b_pad - b)])
+            lr_dev = degrade_pallas_presplit(
+                jnp.asarray(xp), kernel, noise=jnp.asarray(noise),
+                factor=factor, interpret=interp,
+            )
+            lr_batch = np.transpose(np.asarray(lr_dev), (3, 0, 1, 2))[:b]
+            for path, lr in zip(paths, lr_batch):
+                try:
+                    base = os.path.splitext(os.path.basename(path))[0]
+                    out_path = os.path.join(output_dir, f"{base}_train.nc")
+                    save_training_sample(out_path, np.load(path), lr, None)
+                    ok.append(out_path)
+                except Exception as e:
+                    fail.append((path, str(e)))
+        report = RunReport(succeeded=ok, failed=fail, seconds=time.time() - t0)
+        print(f"factory[pallas-presplit]: {report.summary()} -> {output_dir}")
+        return report
+
     from .common import chunked_reader
 
-    reader = chunked_reader(files, batch_size, lambda p: read_band_stack(p, in_group))
+    def _read(p):
+        if input_format == "npy":
+            a = np.asarray(np.load(p), np.float32)
+            if a.ndim != 3:
+                raise ValueError(f"npy patch must be [C, H, W], got {a.shape}")
+            return a
+        return read_band_stack(p, in_group)
+
+    reader = chunked_reader(files, batch_size, _read)
     if progress:
         try:
             from tqdm import tqdm
@@ -191,7 +340,7 @@ def run_factory(
             try:
                 base = os.path.splitext(os.path.basename(path))[0]
                 out_path = os.path.join(output_dir, f"{base}_train.nc")
-                nav = read_nav(path)
+                nav = read_nav(path) if input_format == "nc" else None
                 save_training_sample(
                     out_path, hr, lr, nav or None,
                     lr_attrs=(
@@ -226,11 +375,17 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
+    p.add_argument("--input-format", choices=["auto", "nc", "npy"],
+                   default="auto",
+                   help="npy: raw [C,H,W] patch dirs (cut --format npy / "
+                        "A_01 output) — streamed through the native split "
+                        "loader into the presplit kernel on the Pallas path")
     a = p.parse_args(argv)
     report = run_factory(
         a.input_dir, a.kernel, a.noise_pool, a.output_dir,
         factor=a.factor, in_group=a.in_group, batch_size=a.batch_size,
         seed=a.seed, backend=a.backend, moe_path=a.moe, moe_noise=a.moe_noise,
+        input_format=a.input_format,
     )
     return 0 if report.n_fail == 0 else 1
 

@@ -225,3 +225,73 @@ def test_apply_kernel_moe_matches_factory(tmp_path, rng):
         with NCFile(str(tmp_path / "fused" / f"p{i}_train.nc"), "r") as nc:
             e2 = int(nc.get_attrs(group="lr")["moe_expert"])
         assert e1 == e2
+
+
+def test_factory_npy_input_presplit_route(tmp_path, rng):
+    """npy patch dirs (cut --format npy / A_01 output) stream through the
+    native split loader into the presplit kernel; lr ≡ degrade(hr) +
+    seeded pool sample, hr round-trips exactly. The reference has no
+    factory route for .npy patches at all."""
+    from kmsr_tpu.pipeline.factory import run_factory
+
+    c, h, f = 5, 16, 4
+    patch_dir = tmp_path / "patches"
+    patch_dir.mkdir()
+    arrays = []
+    for i in range(5):
+        a = rng.normal(5, 2, size=(c, h, h)).astype(np.float32)
+        np.save(patch_dir / f"p{i:02d}.npy", a)
+        arrays.append(a)
+    kernel = rng.uniform(0.1, 1, size=(c, 5, 5)).astype(np.float32)
+    np.save(tmp_path / "kernel.npy", kernel)
+    pool = rng.normal(0, 0.1, size=(7, c, h // f, h // f)).astype(np.float32)
+    np.save(tmp_path / "pool.npy", pool)
+
+    report = run_factory(
+        str(patch_dir), str(tmp_path / "kernel.npy"), str(tmp_path / "pool.npy"),
+        str(tmp_path / "out"), factor=f, batch_size=3, seed=11,
+        backend="pallas", progress=False,  # CPU -> interpret mode
+    )
+    assert report.n_fail == 0 and len(report.succeeded) == 5
+
+    # reproduce the seeded noise draws (one integers() call per chunk)
+    rng2 = np.random.default_rng(11)
+    idx = list(rng2.integers(0, 7, size=3)) + list(rng2.integers(0, 7, size=2))
+    files = sorted((tmp_path / "out").glob("*_train.nc"))
+    for k, (path, a) in enumerate(zip(files, arrays)):
+        hr = read_band_stack(str(path), GROUP_HR)
+        lr = read_band_stack(str(path), GROUP_LR)
+        np.testing.assert_array_equal(hr, a)
+        want = np.asarray(degrade(jnp.asarray(a), jnp.asarray(kernel), factor=f))
+        want = want + pool[idx[k]]
+        np.testing.assert_allclose(lr, want, rtol=1e-4, atol=1e-5)
+
+
+def test_factory_npy_input_xla_route(tmp_path, rng):
+    """The npy natural-layout route (XLA backend / MoE-style consumers)
+    produces the same pairs as the presplit route."""
+    from kmsr_tpu.pipeline.factory import run_factory
+
+    c, h, f = 5, 16, 4
+    patch_dir = tmp_path / "patches"
+    patch_dir.mkdir()
+    for i in range(3):
+        np.save(patch_dir / f"p{i}.npy",
+                rng.normal(5, 2, size=(c, h, h)).astype(np.float32))
+    kernel = rng.uniform(0.1, 1, size=(c, 5, 5)).astype(np.float32)
+    np.save(tmp_path / "kernel.npy", kernel)
+    pool = rng.normal(0, 0.1, size=(4, c, h // f, h // f)).astype(np.float32)
+    np.save(tmp_path / "pool.npy", pool)
+    for backend, out in [("pallas", "out_a"), ("xla", "out_b")]:
+        report = run_factory(
+            str(patch_dir), str(tmp_path / "kernel.npy"),
+            str(tmp_path / "pool.npy"), str(tmp_path / out),
+            factor=f, batch_size=2, seed=3, backend=backend, progress=False,
+        )
+        assert report.n_fail == 0
+    for pa in sorted((tmp_path / "out_a").glob("*.nc")):
+        pb = tmp_path / "out_b" / pa.name
+        np.testing.assert_allclose(
+            read_band_stack(str(pa), GROUP_LR),
+            read_band_stack(str(pb), GROUP_LR), rtol=1e-4, atol=1e-5,
+        )
