@@ -23,10 +23,14 @@ BASELINE_MPIX_PER_SEC = 50_000 * 64 * 64 / 1e6  # headline target in pixels
 
 
 def main() -> int:
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from kmsr_tpu.parallel.spatial import degrade_scene
+
+    impl = os.environ.get("KMSR_SCENE_IMPL", "fast")
 
     side = 8192
     iters = 10
@@ -34,7 +38,7 @@ def main() -> int:
     scene = jnp.asarray(rng.normal(5.0, 2.0, (5, side, side)).astype(np.float32))
     kernel = jnp.asarray(rng.uniform(0, 1, (5, 13, 13)).astype(np.float32))
 
-    fn = jax.jit(lambda s, k: degrade_scene(s, k, factor=8))
+    fn = jax.jit(lambda s, k: degrade_scene(s, k, factor=8, impl=impl))
 
     def drain(o):
         return float(jnp.sum(o))  # scalar readback: the only reliable fence

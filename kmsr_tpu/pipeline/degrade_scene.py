@@ -34,20 +34,25 @@ from .common import RunReport
 
 
 def degrade_scene_file(
-    scene: np.ndarray, kernel: jax.Array, factor: int, mesh=None
+    scene: np.ndarray, kernel: jax.Array, factor: int, mesh=None,
+    impl: str = "fast",
 ) -> np.ndarray:
     """[C, H, W] host scene -> [C, H//f, W//f]; NaN-aware (band-mean fill
     for the blur, cells whose whole footprint was NaN restored to NaN)."""
     c = scene.shape[0]
     valid = ~np.isnan(scene)
     if valid.all():
-        return np.asarray(degrade_scene(jnp.asarray(scene), kernel, mesh, factor))
+        return np.asarray(
+            degrade_scene(jnp.asarray(scene), kernel, mesh, factor, impl=impl)
+        )
     fills = np.array(
         [np.nanmean(scene[i]) if valid[i].any() else 0.0 for i in range(c)],
         np.float32,
     )
     filled = np.where(valid, scene, fills[:, None, None]).astype(np.float32)
-    out = np.asarray(degrade_scene(jnp.asarray(filled), kernel, mesh, factor))
+    out = np.asarray(
+        degrade_scene(jnp.asarray(filled), kernel, mesh, factor, impl=impl)
+    )
     # a downsampled cell is NaN iff its factor x factor footprint had no
     # valid pixel at all (same convention as the cutter's NaN gate)
     h_keep = (scene.shape[1] // factor) * factor
@@ -67,6 +72,7 @@ def process_scenes(
     in_group: str = GROUP_GEO,
     out_group: str = GROUP_BLURRED,
     suffix: str = "_blurred",
+    impl: str = "fast",
 ) -> RunReport:
     t0 = time.time()
     kernel = jnp.asarray(load_kernel(kernel_path))
@@ -80,7 +86,7 @@ def process_scenes(
     for path in files:
         try:
             scene = read_band_stack(path, in_group)
-            lr = degrade_scene_file(scene, kernel, factor)
+            lr = degrade_scene_file(scene, kernel, factor, impl=impl)
             base = os.path.splitext(os.path.basename(path))[0]
             out_path = os.path.join(output_dir, f"{base}{suffix}.nc")
             copy_file_with_groups(path, out_path)
@@ -116,11 +122,15 @@ def main(argv=None) -> int:
     p.add_argument("--in-group", default=GROUP_GEO)
     p.add_argument("--out-group", default=GROUP_BLURRED)
     p.add_argument("--suffix", default="_blurred")
+    p.add_argument("--impl", choices=["tiles", "fast", "bands"],
+                   default="fast",
+                   help="tiles: tiles-in-lanes Mosaic kernel (exact seams); "
+                        "fast: raw-slab phase planes; bands: row-band conv")
     a = p.parse_args(argv)
     report = process_scenes(
         a.input, a.kernel, a.output_dir,
         factor=a.factor, in_group=a.in_group, out_group=a.out_group,
-        suffix=a.suffix,
+        suffix=a.suffix, impl=a.impl,
     )
     return 0 if report.n_fail == 0 else 1
 
