@@ -221,3 +221,29 @@ def test_presplit_matches_native_loader_layout(rng, tmp_path):
     np.testing.assert_allclose(
         got, np.transpose(want, (1, 2, 3, 0)), rtol=1e-4, atol=1e-5
     )
+
+
+def test_presplit_bf16_storage(rng):
+    """bf16-stored pre-split pools are consumed directly (tap fmas
+    promote to the f32 accumulator); error stays at bf16 quantization
+    scale."""
+    from kmsr_tpu.ops.degrade_pallas import (
+        degrade_pallas_presplit,
+        phase_split_chwb,
+    )
+
+    x = jnp.asarray(rng.normal(5, 2, size=(2, 32, 32, 8)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(2, 13, 13)).astype(np.float32))
+    want = np.asarray(
+        degrade_pallas_presplit(phase_split_chwb(x, 8), kernel, factor=8,
+                                batch_tile=8, interpret=True)
+    )
+    got = np.asarray(
+        degrade_pallas_presplit(
+            phase_split_chwb(x, 8).astype(jnp.bfloat16), kernel, factor=8,
+            batch_tile=8, interpret=True,
+        )
+    )
+    assert got.dtype == np.float32
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2e-2, rel
