@@ -265,6 +265,34 @@ def run_factory(
                 f"npy patches must be [C, H, W] with H, W multiples of "
                 f"factor; got {shape}"
             )
+        # batch DP: shard the lane (batch) axis over all local devices —
+        # the degrade is embarrassingly parallel, so a pod chip-set
+        # multiplies factory throughput with no communication
+        devs = jax.devices()
+        lane_quantum = LANE * len(devs)
+        degrade_fn = degrade_pallas_presplit
+        if len(devs) > 1:
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import Mesh, PartitionSpec as P
+
+            mesh = Mesh(np.array(devs), ("data",))
+            degrade_fn = shard_map(
+                lambda a, k, noise: degrade_pallas_presplit(
+                    a, k, noise=noise, factor=factor, interpret=interp
+                ),
+                mesh=mesh,
+                in_specs=(
+                    P(None, None, None, None, "data"),
+                    P(None, None, None),
+                    P(None, None, None, "data"),
+                ),
+                out_specs=P(None, None, None, "data"),
+                # pallas_call outputs carry no varying-mesh-axes annotation
+                check_vma=False,
+            )
         batches = _npy_split_batches(files, batch_size, shape, factor)
         if progress:
             try:
@@ -281,16 +309,21 @@ def run_factory(
             if xp is None:
                 continue
             b = xp.shape[-1]
-            b_pad = -(-b // LANE) * LANE
+            b_pad = -(-b // lane_quantum) * lane_quantum
             noise_idx = rng.integers(0, pool.shape[0], size=b)
             noise = np.transpose(pool[noise_idx], (1, 2, 3, 0))  # CHWB
             if b_pad != b:
                 xp = np.pad(xp, [(0, 0)] * 4 + [(0, b_pad - b)])
                 noise = np.pad(noise, [(0, 0)] * 3 + [(0, b_pad - b)])
-            lr_dev = degrade_pallas_presplit(
-                jnp.asarray(xp), kernel, noise=jnp.asarray(noise),
-                factor=factor, interpret=interp,
-            )
+            if len(devs) > 1:
+                lr_dev = degrade_fn(
+                    jnp.asarray(xp), kernel, jnp.asarray(noise)
+                )
+            else:
+                lr_dev = degrade_fn(
+                    jnp.asarray(xp), kernel, noise=jnp.asarray(noise),
+                    factor=factor, interpret=interp,
+                )
             lr_batch = np.transpose(np.asarray(lr_dev), (3, 0, 1, 2))[:b]
             for path, lr in zip(paths, lr_batch):
                 try:
