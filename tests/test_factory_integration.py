@@ -74,12 +74,17 @@ def test_kernelgan_learns_blur_width():
         "--xla_force_host_platform_device_count=8", ""
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    probe = subprocess.run(
-        [sys.executable, "-c", "import jax; print(jax.default_backend())"],
-        env=env, cwd=repo, capture_output=True, text=True, timeout=300,
-    )
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            env=env, cwd=repo, capture_output=True, text=True, timeout=300,
+        )
+    except subprocess.TimeoutExpired:
+        # a downed accelerator tunnel hangs backend init for ~25 min;
+        # an unusable accelerator means skip, not fail
+        pytest.skip("accelerator probe timed out (device tunnel down)")
     backend = probe.stdout.strip().splitlines()[-1] if probe.stdout.strip() else ""
-    if backend in ("", "cpu"):
+    if probe.returncode != 0 or backend in ("", "cpu"):
         pytest.skip(f"learning probe needs an accelerator (backend={backend!r})")
 
     r = subprocess.run(
