@@ -39,6 +39,7 @@ def test_sharded_scene_shape_gate(mesh):
         degrade_scene_sharded(scene, jnp.ones((13, 13)), mesh, factor=8)
 
 
+@pytest.mark.slow  # unique shapes -> full 8-shard shard_map compile (~4 min)
 def test_degrade_scene_uneven_shapes(mesh, rng):
     """The shape-tolerant wrapper: H not a multiple of n_devices*factor
     (edge-replicated row padding), W with a sub-factor remainder (cropped,
@@ -99,6 +100,7 @@ def test_sharded_scene_tiles_impl_matches_single_device(mesh, rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # unique shapes -> full 8-shard shard_map compile
 def test_sharded_scene_tiles_impl_falls_back(mesh, rng):
     """Geometry the tiles path cannot take (W not a multiple of the tile
     width) silently falls back to the fast path."""
