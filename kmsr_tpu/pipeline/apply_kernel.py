@@ -73,6 +73,17 @@ def apply_kernel_to_folder(
     t0 = time.time()
     if (moe_path is None) == (kernel_path is None):
         raise ValueError("exactly one of kernel_path / moe_path is required")
+    # batch DP (single-kernel route only): the degrade is per-sample
+    # independent, so the batch axis shards over all local devices and
+    # GSPMD partitions the conv with no communication. The MoE route
+    # stays single-device: its selector may use batch statistics (no
+    # saved BN stats), which lane padding would perturb.
+    sharding = None
+    if moe_path is None and len(jax.devices()) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        sharding = NamedSharding(mesh, P("data"))
     if moe_path is None:
         kernel = jnp.asarray(load_kernel(kernel_path))
         fn = jax.jit(
@@ -126,10 +137,19 @@ def apply_kernel_to_folder(
         fail.extend(chunk_fail)
         if not stacks:
             continue
-        batch = jnp.asarray(np.stack(stacks, axis=0))
+        b = len(stacks)
+        host = np.stack(stacks, axis=0)
+        if sharding is not None:
+            n_dev = len(jax.devices())
+            b_pad = -(-b // n_dev) * n_dev
+            if b_pad != b:
+                host = np.pad(host, [(0, b_pad - b)] + [(0, 0)] * 3)
+            batch = jax.device_put(host, sharding)
+        else:
+            batch = jnp.asarray(host)
         degraded_dev, experts_dev = fn(batch)
-        degraded = np.asarray(degraded_dev)
-        experts = np.asarray(experts_dev)
+        degraded = np.asarray(degraded_dev)[:b]
+        experts = np.asarray(experts_dev)[:b]
         for path, lr, expert in zip(valid, degraded, experts):
             try:
                 base = os.path.splitext(os.path.basename(path))[0]
