@@ -219,9 +219,27 @@ def denoise_batch(
         valid.reshape(flat.shape), flat, fills[:, None, None]
     ).astype(np.float32)
 
-    dev = jnp.asarray(filled)
-    sig = jax.vmap(estimate_sigma)(dev)  # [N*C]
-    den = np.asarray(nlm_denoise_2d(dev, h_factor * sig, sig))
+    # batch DP: every (file, band) image is independent, so the flattened
+    # leading axis shards over all local devices (GSPMD, no comms); the
+    # zero padding is inert (sigma 0, h clamp, self-weight 1) and sliced
+    # back off.
+    nb = filled.shape[0]
+    devs = jax.devices()
+    if len(devs) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        pad_to = -(-nb // len(devs)) * len(devs)
+        if pad_to != nb:
+            filled = np.pad(filled, [(0, pad_to - nb), (0, 0), (0, 0)])
+        mesh = Mesh(np.array(devs), ("data",))
+        dev = jax.device_put(
+            filled, NamedSharding(mesh, P("data", None, None))
+        )
+    else:
+        dev = jnp.asarray(filled)
+    sig = jax.vmap(estimate_sigma)(dev)  # [N*C (padded)]
+    den = np.asarray(nlm_denoise_2d(dev, h_factor * sig, sig))[:nb]
+    sig = jnp.asarray(np.asarray(sig)[:nb])
     out = np.where(valid.reshape(flat.shape), den, np.nan).astype(np.float32)
     dead = ~any_valid.reshape(-1)
     out[dead] = flat[dead]
