@@ -47,6 +47,14 @@ def sr_infer_folder(
     files = list_patch_files(input_dir, "*.nc")
     os.makedirs(output_dir, exist_ok=True)
     fwd = jax.jit(lambda p, x: sr_forward(p, x, cfg))
+    # batch DP: the SR forward has no cross-sample state (pure convs),
+    # so the file batch shards over all local devices via GSPMD
+    sharding = None
+    if len(jax.devices()) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        sharding = NamedSharding(mesh, P("data"))
 
     ok, fail, metrics = [], [], []
     from .common import chunked_reader
@@ -66,8 +74,17 @@ def sr_infer_folder(
         fail.extend(chunk_fail)
         if not stacks:
             continue
-        batch = jnp.asarray(np.stack(stacks, axis=0))
-        preds = np.asarray(fwd(params, batch))
+        b = len(stacks)
+        host = np.stack(stacks, axis=0)
+        if sharding is not None:
+            n_dev = len(jax.devices())
+            b_pad = -(-b // n_dev) * n_dev
+            if b_pad != b:
+                host = np.pad(host, [(0, b_pad - b)] + [(0, 0)] * 3)
+            batch = jax.device_put(host, sharding)
+        else:
+            batch = jnp.asarray(host)
+        preds = np.asarray(fwd(params, batch))[:b]
         for path, pred in zip(valid, preds):
             try:
                 base = os.path.splitext(os.path.basename(path))[0]
