@@ -104,3 +104,27 @@ def test_degrade_batch_kernels_matches_torch_groups_trick(rng):
         degrade_batch_kernels(jnp.asarray(x), jnp.asarray(ks), factor=4, decimate=True)
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ops_package_imports_lazily():
+    """`import kmsr_tpu.ops` must not drag in jax.experimental.pallas —
+    XLA-only consumers (pipeline CLIs on CPU hosts) shouldn't pay the
+    Mosaic import; Pallas-backed ops load on first attribute access."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import kmsr_tpu.ops\n"
+        "assert 'jax.experimental.pallas' not in sys.modules\n"
+        "from kmsr_tpu.ops import degrade_pallas_presplit\n"
+        "assert 'jax.experimental.pallas' in sys.modules\n"
+        "print('ok')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert r.stdout.strip().endswith("ok")
