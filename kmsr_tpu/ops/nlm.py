@@ -224,7 +224,7 @@ def denoise_batch(
     # zero padding is inert (sigma 0, h clamp, self-weight 1) and sliced
     # back off.
     nb = filled.shape[0]
-    devs = jax.devices()
+    devs = jax.local_devices()  # per-host batch: inputs are host-local
     if len(devs) > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -79,10 +79,11 @@ def apply_kernel_to_folder(
     # stays single-device: its selector may use batch statistics (no
     # saved BN stats), which lane padding would perturb.
     sharding = None
-    if moe_path is None and len(jax.devices()) > 1:
+    if moe_path is None and len(jax.local_devices()) > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-        mesh = Mesh(np.array(jax.devices()), ("data",))
+        # local devices only: this stage is per-host (files host-sharded)
+        mesh = Mesh(np.array(jax.local_devices()), ("data",))
         sharding = NamedSharding(mesh, P("data"))
     if moe_path is None:
         kernel = jnp.asarray(load_kernel(kernel_path))
@@ -140,7 +141,7 @@ def apply_kernel_to_folder(
         b = len(stacks)
         host = np.stack(stacks, axis=0)
         if sharding is not None:
-            n_dev = len(jax.devices())
+            n_dev = len(jax.local_devices())
             b_pad = -(-b // n_dev) * n_dev
             if b_pad != b:
                 host = np.pad(host, [(0, b_pad - b)] + [(0, 0)] * 3)

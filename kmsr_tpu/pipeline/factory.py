@@ -268,7 +268,7 @@ def run_factory(
         # batch DP: shard the lane (batch) axis over all local devices —
         # the degrade is embarrassingly parallel, so a pod chip-set
         # multiplies factory throughput with no communication
-        devs = jax.devices()
+        devs = jax.local_devices()  # per-host stage: files are host-sharded
         lane_quantum = LANE * len(devs)
         degrade_fn = degrade_pallas_presplit
         if len(devs) > 1:

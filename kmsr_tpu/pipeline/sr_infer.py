@@ -50,10 +50,11 @@ def sr_infer_folder(
     # batch DP: the SR forward has no cross-sample state (pure convs),
     # so the file batch shards over all local devices via GSPMD
     sharding = None
-    if len(jax.devices()) > 1:
+    if len(jax.local_devices()) > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-        mesh = Mesh(np.array(jax.devices()), ("data",))
+        # local devices only: this stage is per-host (files host-sharded)
+        mesh = Mesh(np.array(jax.local_devices()), ("data",))
         sharding = NamedSharding(mesh, P("data"))
 
     ok, fail, metrics = [], [], []
@@ -77,7 +78,7 @@ def sr_infer_folder(
         b = len(stacks)
         host = np.stack(stacks, axis=0)
         if sharding is not None:
-            n_dev = len(jax.devices())
+            n_dev = len(jax.local_devices())
             b_pad = -(-b // n_dev) * n_dev
             if b_pad != b:
                 host = np.pad(host, [(0, b_pad - b)] + [(0, 0)] * 3)
