@@ -223,23 +223,13 @@ def denoise_batch(
     # leading axis shards over all local devices (GSPMD, no comms); the
     # zero padding is inert (sigma 0, h clamp, self-weight 1) and sliced
     # back off.
-    nb = filled.shape[0]
-    devs = jax.local_devices()  # per-host batch: inputs are host-local
-    if len(devs) > 1:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ..parallel.local_dp import local_batch_dp, pad_put
 
-        pad_to = -(-nb // len(devs)) * len(devs)
-        if pad_to != nb:
-            filled = np.pad(filled, [(0, pad_to - nb), (0, 0), (0, 0)])
-        mesh = Mesh(np.array(devs), ("data",))
-        dev = jax.device_put(
-            filled, NamedSharding(mesh, P("data", None, None))
-        )
-    else:
-        dev = jnp.asarray(filled)
+    sharding, n_dev = local_batch_dp()
+    dev, nb = pad_put(filled, sharding, n_dev)
     sig = jax.vmap(estimate_sigma)(dev)  # [N*C (padded)]
     den = np.asarray(nlm_denoise_2d(dev, h_factor * sig, sig))[:nb]
-    sig = jnp.asarray(np.asarray(sig)[:nb])
+    sig = np.asarray(sig)[:nb]
     out = np.where(valid.reshape(flat.shape), den, np.nan).astype(np.float32)
     dead = ~any_valid.reshape(-1)
     out[dead] = flat[dead]

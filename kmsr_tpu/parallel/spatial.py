@@ -30,8 +30,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.8 top-level API; the experimental alias is deprecated
     from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
+
+    _VMA_KW = {"check_vma": False}
+except ImportError:  # pragma: no cover - older jax spells it check_rep
     from jax.experimental.shard_map import shard_map
+
+    _VMA_KW = {"check_rep": False}
 
 from ..ops.degrade import compose_with_box, depthwise_conv2d, normalize_kernel
 from ..ops.degrade_scene_fast import degrade_rows_fast, halo_rows
@@ -174,7 +178,7 @@ def degrade_scene_sharded(
         out_specs=P(None, axis_name, None),
         # pallas_call outputs carry no varying-mesh-axes annotation; the
         # out_specs above already pin the row sharding
-        check_vma=False,
+        **_VMA_KW,
     )
     return fn(scene, comp)
 

@@ -78,13 +78,9 @@ def apply_kernel_to_folder(
     # GSPMD partitions the conv with no communication. The MoE route
     # stays single-device: its selector may use batch statistics (no
     # saved BN stats), which lane padding would perturb.
-    sharding = None
-    if moe_path is None and len(jax.local_devices()) > 1:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from .common import local_batch_dp, pad_put
 
-        # local devices only: this stage is per-host (files host-sharded)
-        mesh = Mesh(np.array(jax.local_devices()), ("data",))
-        sharding = NamedSharding(mesh, P("data"))
+    sharding, n_dev = (None, 1) if moe_path is not None else local_batch_dp()
     if moe_path is None:
         kernel = jnp.asarray(load_kernel(kernel_path))
         fn = jax.jit(
@@ -138,16 +134,7 @@ def apply_kernel_to_folder(
         fail.extend(chunk_fail)
         if not stacks:
             continue
-        b = len(stacks)
-        host = np.stack(stacks, axis=0)
-        if sharding is not None:
-            n_dev = len(jax.local_devices())
-            b_pad = -(-b // n_dev) * n_dev
-            if b_pad != b:
-                host = np.pad(host, [(0, b_pad - b)] + [(0, 0)] * 3)
-            batch = jax.device_put(host, sharding)
-        else:
-            batch = jnp.asarray(host)
+        batch, b = pad_put(np.stack(stacks, axis=0), sharding, n_dev)
         degraded_dev, experts_dev = fn(batch)
         degraded = np.asarray(degraded_dev)[:b]
         experts = np.asarray(experts_dev)[:b]

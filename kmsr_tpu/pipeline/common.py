@@ -121,3 +121,8 @@ def maybe_trace(log_dir: Optional[str]):
     with device_trace(log_dir):
         yield
     print(f"[trace] device timeline written to {log_dir}")
+
+
+# Re-exported for the pipeline stages; the implementation lives in
+# parallel.local_dp (ops modules use it too and must not import pipeline).
+from ..parallel.local_dp import local_batch_dp, pad_put  # noqa: E402,F401

@@ -96,12 +96,14 @@ def load_moe_for_factory(moe_path: str):
 
 
 def _npy_split_batches(files, batch_size, shape, factor):
-    """Yield (paths, presplit_batch) per chunk via the native loader's
-    split gather (double-buffered prefetch), falling back to numpy load
-    + host transpose when no toolchain is available. The batch arrives
-    in the [C, f, H/f+2, W, B] layout `degrade_pallas_presplit` consumes
-    — the layout work costs the host nothing extra (write order), so the
-    device pass is the pure tap lattice."""
+    """Yield (paths, presplit_batch, natural_batch, fails) per chunk via
+    the native loader's DUAL split gather — one file read per patch fills
+    both the [C, f, H/f+2, W, B] device layout
+    (`degrade_pallas_presplit`'s input; the layout work costs the host
+    nothing extra, it is just a write order) and the natural [B, C, H, W]
+    batch (the hr group to be written) — with double-buffered prefetch.
+    Falls back to numpy load + host transpose (per-file isolation) when
+    no toolchain is available or the loader errors."""
     c, h, w = shape
     idx_chunks = [
         np.arange(i, min(i + batch_size, len(files)), dtype=np.int64)
@@ -116,7 +118,7 @@ def _npy_split_batches(files, batch_size, shape, factor):
         pass  # numpy fallback below
 
     def np_split(idx):
-        """Per-file-isolated numpy fallback: (good_paths, batch, fails)."""
+        """Per-file-isolated numpy fallback."""
         good, stacks, fails = [], [], []
         for i in idx:
             try:
@@ -128,8 +130,9 @@ def _npy_split_batches(files, batch_size, shape, factor):
             except Exception as e:
                 fails.append((files[i], str(e)))
         if not stacks:
-            return good, None, fails
-        x = np.stack(stacks, axis=-1)  # [C, H, W, B]
+            return good, None, None, fails
+        nat = np.stack(stacks, axis=0)  # [B, C, H, W]
+        x = np.moveaxis(nat, 0, -1)     # [C, H, W, B]
         oh = h // factor
         xr = x.reshape(c, oh, factor, w // factor, factor, len(good))
         xp = np.transpose(xr, (0, 2, 1, 4, 3, 5)).reshape(
@@ -139,22 +142,30 @@ def _npy_split_batches(files, batch_size, shape, factor):
         bot = np.broadcast_to(
             xp[:, factor - 1 :, oh - 1 : oh], (c, factor, 1, w, len(good))
         )
-        return good, np.concatenate([top, xp, bot], axis=2), fails
+        return good, np.concatenate([top, xp, bot], axis=2), nat, fails
+
+    def enqueue(k):
+        nonlocal loader
+        try:
+            loader.prefetch_split_dual(idx_chunks[k], factor=factor)
+        except Exception:
+            loader.close()  # loader unusable: numpy path from here on
+            loader = None
 
     try:
         if loader is not None:
-            loader.prefetch_split(idx_chunks[0], factor=factor)
+            enqueue(0)
         for k, idx in enumerate(idx_chunks):
-            buf = None
+            bufs = None
             if loader is not None:
                 try:
-                    buf = loader.wait()
+                    bufs = loader.wait()
                 except Exception:
-                    buf = None  # re-read the chunk with per-file isolation
-                if k + 1 < len(idx_chunks):
-                    loader.prefetch_split(idx_chunks[k + 1], factor=factor)
-            if buf is not None:
-                yield [files[i] for i in idx], buf, []
+                    bufs = None  # re-read the chunk with per-file isolation
+                if loader is not None and k + 1 < len(idx_chunks):
+                    enqueue(k + 1)
+            if bufs is not None:
+                yield [files[i] for i in idx], bufs[0], bufs[1], []
             else:
                 yield np_split(idx)
     finally:
@@ -212,6 +223,13 @@ def run_factory(
     )
     os.makedirs(output_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
+    # noise indices are drawn per FILE up front (position-indexed), so
+    # every route/backend/chunking — and per-file failures — produces the
+    # same lr for the same seed (per-chunk draws desynced the presplit
+    # and natural routes, and shifted every draw after a failed file)
+    noise_idx_all = rng.integers(0, pool.shape[0], size=len(files))
+    file_pos = {p: i for i, p in enumerate(files)}
+    base_key = jax.random.PRNGKey(seed)
 
     if moe_path is None:
         kernel = jnp.asarray(load_kernel(kernel_path))
@@ -272,10 +290,16 @@ def run_factory(
         lane_quantum = LANE * len(devs)
         degrade_fn = degrade_pallas_presplit
         if len(devs) > 1:
+            # pallas_call outputs carry no varying-mesh-axes annotation:
+            # disable the check under whichever name this jax spells it
             try:
                 from jax import shard_map
+
+                vma_kw = {"check_vma": False}
             except ImportError:  # pragma: no cover - older jax
                 from jax.experimental.shard_map import shard_map
+
+                vma_kw = {"check_rep": False}
             from jax.sharding import Mesh, PartitionSpec as P
 
             mesh = Mesh(np.array(devs), ("data",))
@@ -290,8 +314,7 @@ def run_factory(
                     P(None, None, None, "data"),
                 ),
                 out_specs=P(None, None, None, "data"),
-                # pallas_call outputs carry no varying-mesh-axes annotation
-                check_vma=False,
+                **vma_kw,
             )
         batches = _npy_split_batches(files, batch_size, shape, factor)
         if progress:
@@ -304,32 +327,37 @@ def run_factory(
                 )
             except ImportError:
                 pass
-        for paths, xp, chunk_fail in batches:
+        for paths, xp, nat, chunk_fail in batches:
             fail.extend(chunk_fail)
             if xp is None:
                 continue
             b = xp.shape[-1]
-            b_pad = -(-b // lane_quantum) * lane_quantum
-            noise_idx = rng.integers(0, pool.shape[0], size=b)
+            noise_idx = noise_idx_all[[file_pos[p] for p in paths]]
             noise = np.transpose(pool[noise_idx], (1, 2, 3, 0))  # CHWB
+            # DP only pays when the chunk roughly fills the device set;
+            # tiny/tail chunks run single-device (same wall time, no
+            # lane_quantum padding blow-up)
+            use_dp = len(devs) > 1 and b >= lane_quantum // 2
+            quantum = lane_quantum if use_dp else LANE
+            b_pad = -(-b // quantum) * quantum
             if b_pad != b:
                 xp = np.pad(xp, [(0, 0)] * 4 + [(0, b_pad - b)])
                 noise = np.pad(noise, [(0, 0)] * 3 + [(0, b_pad - b)])
-            if len(devs) > 1:
+            if use_dp:
                 lr_dev = degrade_fn(
                     jnp.asarray(xp), kernel, jnp.asarray(noise)
                 )
             else:
-                lr_dev = degrade_fn(
+                lr_dev = degrade_pallas_presplit(
                     jnp.asarray(xp), kernel, noise=jnp.asarray(noise),
                     factor=factor, interpret=interp,
                 )
             lr_batch = np.transpose(np.asarray(lr_dev), (3, 0, 1, 2))[:b]
-            for path, lr in zip(paths, lr_batch):
+            for path, hr, lr in zip(paths, nat, lr_batch):
                 try:
                     base = os.path.splitext(os.path.basename(path))[0]
                     out_path = os.path.join(output_dir, f"{base}_train.nc")
-                    save_training_sample(out_path, np.load(path), lr, None)
+                    save_training_sample(out_path, hr, lr, None)
                     ok.append(out_path)
                 except Exception as e:
                     fail.append((path, str(e)))
@@ -363,9 +391,11 @@ def run_factory(
         if not stacks:
             continue
         hr_batch = np.stack(stacks, axis=0)
-        noise_idx = rng.integers(0, pool.shape[0], size=len(valid))
+        noise_idx = noise_idx_all[[file_pos[p] for p in valid]]
         noise = jnp.asarray(pool[noise_idx])
-        key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+        # chunking-independent key: fold the chunk's first file position
+        # into the seed key (only consumed by --moe-noise sigma)
+        key = jax.random.fold_in(base_key, file_pos[valid[0]])
         lr_dev, experts_dev = fn(jnp.asarray(hr_batch), noise, key)
         lr_batch = np.asarray(lr_dev)
         experts = np.asarray(experts_dev)

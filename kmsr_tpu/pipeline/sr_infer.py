@@ -49,13 +49,9 @@ def sr_infer_folder(
     fwd = jax.jit(lambda p, x: sr_forward(p, x, cfg))
     # batch DP: the SR forward has no cross-sample state (pure convs),
     # so the file batch shards over all local devices via GSPMD
-    sharding = None
-    if len(jax.local_devices()) > 1:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from .common import local_batch_dp, pad_put
 
-        # local devices only: this stage is per-host (files host-sharded)
-        mesh = Mesh(np.array(jax.local_devices()), ("data",))
-        sharding = NamedSharding(mesh, P("data"))
+    sharding, n_dev = local_batch_dp()
 
     ok, fail, metrics = [], [], []
     from .common import chunked_reader
@@ -75,16 +71,7 @@ def sr_infer_folder(
         fail.extend(chunk_fail)
         if not stacks:
             continue
-        b = len(stacks)
-        host = np.stack(stacks, axis=0)
-        if sharding is not None:
-            n_dev = len(jax.local_devices())
-            b_pad = -(-b // n_dev) * n_dev
-            if b_pad != b:
-                host = np.pad(host, [(0, b_pad - b)] + [(0, 0)] * 3)
-            batch = jax.device_put(host, sharding)
-        else:
-            batch = jnp.asarray(host)
+        batch, b = pad_put(np.stack(stacks, axis=0), sharding, n_dev)
         preds = np.asarray(fwd(params, batch))[:b]
         for path, pred in zip(valid, preds):
             try:

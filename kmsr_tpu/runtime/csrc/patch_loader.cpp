@@ -88,6 +88,10 @@ bool parse_npy_header(const std::string& path, uint64_t expect_floats,
 // write order.
 struct SplitSpec {
   int c = 0, h = 0, w = 0, factor = 0;
+  // When set, the natural [B, C, H, W] batch is ALSO written here from
+  // the same staging read — one file read fills both layouts (the
+  // factory needs the natural patch to write the hr group).
+  float* natural_out = nullptr;
 };
 
 struct Loader {
@@ -175,6 +179,10 @@ struct Loader {
           if (split.factor > 0) {
             if (!read_one(indices[i], staging.data())) { ok = false; return; }
             scatter_split(staging.data(), out, i, n, split);
+            if (split.natural_out) {
+              std::memcpy(split.natural_out + (uint64_t)i * patch_floats,
+                          staging.data(), patch_floats * sizeof(float));
+            }
           } else if (!read_one(indices[i], out + (uint64_t)i * patch_floats)) {
             ok = false;
             return;
@@ -224,6 +232,16 @@ int kmsr_loader_gather_split(void* handle, const int64_t* indices, int n,
   return ld->gather(indices, n, out, SplitSpec{c, h, w, factor}) ? 0 : 1;
 }
 
+// Dual gather: one file read fills BOTH the pre-split layout (`out`) and
+// the natural [n, C, H, W] batch (`natural_out`).
+int kmsr_loader_gather_split_dual(void* handle, const int64_t* indices,
+                                  int n, int c, int h, int w, int factor,
+                                  float* out, float* natural_out) {
+  auto* ld = static_cast<Loader*>(handle);
+  return ld->gather(indices, n, out,
+                    SplitSpec{c, h, w, factor, natural_out}) ? 0 : 1;
+}
+
 namespace {
 
 // Shared async-prefetch setup. A finished-but-unjoined previous thread is
@@ -261,6 +279,13 @@ int kmsr_loader_prefetch_split(void* handle, const int64_t* indices, int n,
                                int c, int h, int w, int factor, float* out) {
   return start_prefetch(static_cast<Loader*>(handle), indices, n, out,
                         SplitSpec{c, h, w, factor});
+}
+
+int kmsr_loader_prefetch_split_dual(void* handle, const int64_t* indices,
+                                    int n, int c, int h, int w, int factor,
+                                    float* out, float* natural_out) {
+  return start_prefetch(static_cast<Loader*>(handle), indices, n, out,
+                        SplitSpec{c, h, w, factor, natural_out});
 }
 
 int kmsr_loader_wait(void* handle) {

@@ -72,6 +72,11 @@ def _get_lib() -> ctypes.CDLL:
             lib.kmsr_loader_gather_split.argtypes = split_args
             lib.kmsr_loader_prefetch_split.restype = ctypes.c_int
             lib.kmsr_loader_prefetch_split.argtypes = split_args
+            dual_args = split_args + [ctypes.POINTER(ctypes.c_float)]
+            lib.kmsr_loader_gather_split_dual.restype = ctypes.c_int
+            lib.kmsr_loader_gather_split_dual.argtypes = dual_args
+            lib.kmsr_loader_prefetch_split_dual.restype = ctypes.c_int
+            lib.kmsr_loader_prefetch_split_dual.argtypes = dual_args
             lib.kmsr_loader_wait.restype = ctypes.c_int
             lib.kmsr_loader_wait.argtypes = [ctypes.c_void_p]
             lib.kmsr_loader_num_files.restype = ctypes.c_int64
@@ -184,6 +189,31 @@ class NativePatchLoader:
         if rc != 0:
             raise IOError(f"native split prefetch failed (rc={rc}): {self._err()}")
         self._pending = (indices, out)
+
+    def prefetch_split_dual(self, indices: np.ndarray, factor: int = 8) -> None:
+        """Async dual gather: ONE file read per patch fills both the
+        pre-split device layout and the natural [B, C, H, W] batch.
+        `wait()` returns (split, natural)."""
+        if self._pending is not None:
+            raise RuntimeError("a prefetch is already in flight")
+        c, h, w = self._split_dims(factor)
+        indices = np.ascontiguousarray(indices, dtype=np.int64)
+        out = np.empty(
+            (c, factor, h // factor + 2, w, len(indices)), np.float32
+        )
+        nat = np.empty((len(indices), c, h, w), np.float32)
+        rc = self._lib.kmsr_loader_prefetch_split_dual(
+            self._handle,
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(indices), c, h, w, factor,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            nat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise IOError(
+                f"native dual split prefetch failed (rc={rc}): {self._err()}"
+            )
+        self._pending = (indices, (out, nat))
 
     def prefetch(self, indices: np.ndarray) -> None:
         if self._pending is not None:

@@ -122,9 +122,12 @@ def test_ops_package_imports_lazily():
         "assert 'jax.experimental.pallas' in sys.modules\n"
         "print('ok')\n"
     )
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=240,
+        timeout=240, cwd=repo,
     )
     assert r.returncode == 0, r.stderr[-1000:]
     assert r.stdout.strip().endswith("ok")

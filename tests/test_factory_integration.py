@@ -259,9 +259,9 @@ def test_factory_npy_input_presplit_route(tmp_path, rng):
     )
     assert report.n_fail == 0 and len(report.succeeded) == 5
 
-    # reproduce the seeded noise draws (one integers() call per chunk)
-    rng2 = np.random.default_rng(11)
-    idx = list(rng2.integers(0, 7, size=3)) + list(rng2.integers(0, 7, size=2))
+    # reproduce the seeded noise draws: one upfront per-FILE vector, so
+    # chunking/backend/failures cannot shift them
+    idx = np.random.default_rng(11).integers(0, 7, size=5)
     files = sorted((tmp_path / "out").glob("*_train.nc"))
     for k, (path, a) in enumerate(zip(files, arrays)):
         hr = read_band_stack(str(path), GROUP_HR)

@@ -96,3 +96,15 @@ def test_gather_split_rejects_bad_factor(npy_dir):
     with pytest.raises(ValueError):
         loader.gather_split(np.array([0], np.int64), factor=5)  # 16 % 5
     loader.close()
+
+
+def test_gather_split_dual(npy_dir):
+    """The dual gather fills both layouts from ONE file read: the split
+    buffer matches gather_split and the natural buffer matches gather."""
+    loader = make_loader(npy_dir)
+    idx = np.array([2, 7, 0], np.int64)
+    loader.prefetch_split_dual(idx, factor=4)
+    split, nat = loader.wait()
+    np.testing.assert_array_equal(split, loader.gather_split(idx, factor=4))
+    np.testing.assert_array_equal(nat, loader.gather(idx))
+    loader.close()
