@@ -192,6 +192,16 @@ def _pick_rt(out_h: int, target: int = 64) -> int | None:
     return None
 
 
+def pick_wt(w: int, factor: int, target: int = 64) -> int | None:
+    """Largest tile width <= target dividing W: a multiple of `factor`
+    with at least two output columns per tile (out_wt == 1 would leave
+    the q=±1 taps a zero-width base slice)."""
+    for wt in range(target, 2 * factor - 1, -factor):
+        if w % wt == 0 and wt % factor == 0:
+            return wt
+    return None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("factor", "wt", "batch_tile", "interpret", "rt_target"),
@@ -224,8 +234,8 @@ def degrade_scene_tiles(
     rt = _pick_rt(out_h, rt_target)
     if batch_tile is None:
         batch_tile = LANE if t % LANE == 0 else t
-    if (h % factor or w % wt or wt % factor or rt is None
-            or t % batch_tile):
+    if (h % factor or w % wt or wt % factor or wt < 2 * factor
+            or rt is None or t % batch_tile):
         raise ValueError(
             f"no legal tiling: {(h, w, wt, factor, rt, batch_tile)}"
         )
@@ -347,8 +357,8 @@ def degrade_rows_tiles(
     rt = _pick_rt(out_h, rt_target)
     if batch_tile is None:
         batch_tile = LANE if t % LANE == 0 else t
-    if (h % factor or w % wt or wt % factor or rt is None
-            or t % batch_tile):
+    if (h % factor or w % wt or wt % factor or wt < 2 * factor
+            or rt is None or t % batch_tile):
         raise ValueError(
             f"no legal tiling: {(h, w, wt, factor, rt, batch_tile)}"
         )

@@ -113,11 +113,12 @@ def degrade_scene_sharded(
         from ..ops.degrade_scene_tiles import (
             _pick_rt,
             degrade_rows_tiles,
+            pick_wt,
         )
 
-        wt = 64
+        wt = pick_wt(w, factor)
         out_h_local = h // n // factor
-        if (ksize > 3 * factor or w % wt or wt % factor
+        if (ksize > 3 * factor or wt is None
                 or _pick_rt(out_h_local) is None or h // n % factor):
             impl = "fast"
     if impl == "tiles":
