@@ -264,6 +264,36 @@ def test_rows_tiles_neighbor_halos_tile_exactly(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_pick_wt_geometry():
+    """Adaptive tile width: largest divisor of W that is a factor
+    multiple with >=2 output columns per tile."""
+    from kmsr_tpu.ops.degrade_scene_tiles import pick_wt
+
+    assert pick_wt(8192, 8) == 64
+    assert pick_wt(96, 8) == 48      # 64 does not divide 96
+    assert pick_wt(32, 4) == 32
+    assert pick_wt(100, 8) is None   # no legal divisor
+    assert pick_wt(8, 8) is None     # out_wt would be 1
+
+
+def test_scene_tiles_adaptive_width_matches_conv(rng):
+    """W not divisible by the default 64 tile still takes the tiles path
+    via pick_wt and reproduces the oracle."""
+    from kmsr_tpu.ops.degrade_scene_tiles import degrade_scene_tiles, pick_wt
+
+    c, h, w, f = 1, 16, 96, 8
+    wt = pick_wt(w, f)
+    assert wt == 48
+    x = jnp.asarray(rng.normal(5, 2, (c, h, w)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, (c, 13, 13)).astype(np.float32))
+    want = np.asarray(_oracle(x, kernel, f))
+    comp = compose_with_box(normalize_kernel(kernel), f)
+    got = np.asarray(
+        degrade_scene_tiles(x, comp, factor=f, wt=wt, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_scene_tiles_single_row_tile(rng):
     """out_h == rt == 1-per-shard geometry (regression: the q0=±1 row
     stacks must not slice an empty range of a 1-row block)."""
