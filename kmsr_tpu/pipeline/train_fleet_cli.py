@@ -1,0 +1,111 @@
+"""Stage: fleet KernelGAN training — all scenes' kernels in one run (CLI).
+
+The reference runs `single_kernel/train.py` once per scene, serially;
+this stage vmaps the same training step over every scene at once (see
+`train.fleet`) and writes the standard per-scene artifact set
+(`training_log.txt`, kernel .npy dumps) under OUTDIR/<scene>/.
+
+Usage:
+    # one subdirectory of patches per scene
+    python -m kmsr_tpu.pipeline.train_fleet_cli \
+        --patch-root PATCHES_ROOT --outdir OUT [--iters 10000] ...
+
+    # or explicit per-scene dirs
+    python -m kmsr_tpu.pipeline.train_fleet_cli \
+        --patch-dirs sceneA/ sceneB/ sceneC/ --outdir OUT \
+        [--scene-parallel]  # shard the scene axis over all devices
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..data.sampler import PatchPool
+from ..io.schema import GROUP_DENOISED
+from ..models.generator import GeneratorConfig
+from ..train.fleet import train_fleet
+from ..train.single_kernel import SingleKernelConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train one KernelGAN per scene, all simultaneously"
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--patch-root",
+                     help="directory with one patch subdirectory per scene")
+    src.add_argument("--patch-dirs", nargs="+",
+                     help="explicit per-scene patch directories")
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--group", default=GROUP_DENOISED)
+    p.add_argument("--format", choices=("nc", "npy"), default="nc",
+                   help="patch file format inside each scene dir")
+    p.add_argument("--iters", type=int, default=10_000)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr-crop-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=4e-4)
+    p.add_argument("--reg-weight", type=float, default=0.002)
+    p.add_argument("--grad-clip", type=float, default=20.0)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--kernel-log-every", type=int, default=100)
+    p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume the whole fleet from OUTDIR/ckpt")
+    p.add_argument("--seed", type=int, default=0,
+                   help="scene s trains with seed SEED+s")
+    p.add_argument("--fast-forward", action="store_true",
+                   help="run G as ONE composed depthwise conv")
+    p.add_argument("--differentiable-reg", action="store_true")
+    p.add_argument("--scene-parallel", action="store_true",
+                   help="shard the scene axis over all local devices "
+                        "(zero collectives; scenes must divide devices)")
+    return p
+
+
+def main(argv=None) -> int:
+    a = build_parser().parse_args(argv)
+    if a.patch_root:
+        dirs = sorted(
+            os.path.join(a.patch_root, d)
+            for d in os.listdir(a.patch_root)
+            if os.path.isdir(os.path.join(a.patch_root, d))
+        )
+        if not dirs:
+            raise SystemExit(f"no scene subdirectories in {a.patch_root}")
+    else:
+        dirs = a.patch_dirs
+    names = [os.path.basename(os.path.normpath(d)) for d in dirs]
+    if a.format == "npy":
+        pools = [PatchPool.from_npy_dir(d) for d in dirs]
+    else:
+        pools = [PatchPool.from_nc_dir(d, group=a.group) for d in dirs]
+    cfg = SingleKernelConfig(
+        iters=a.iters,
+        batch_size=a.batch_size,
+        lr_crop_size=a.lr_crop_size,
+        lr_rate=a.lr,
+        reg_weight=a.reg_weight,
+        grad_clip_norm=a.grad_clip,
+        log_every=a.log_every,
+        kernel_log_every=a.kernel_log_every,
+        ckpt_every=a.ckpt_every,
+        resume=a.resume,
+        outdir=a.outdir,
+        seed=a.seed,
+        differentiable_reg=a.differentiable_reg,
+        generator=GeneratorConfig(
+            forward_mode="compose" if a.fast_forward else "chain"
+        ),
+    )
+    mesh = None
+    if a.scene_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_names=("scene",))
+    out = train_fleet(pools, cfg, scene_names=names, mesh=mesh)
+    print(f"fleet done: {len(out['scene_names'])} scenes -> {a.outdir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

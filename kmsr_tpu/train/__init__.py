@@ -8,8 +8,10 @@ from .state import (
 )
 from .single_kernel import (
     SingleKernelConfig,
+    make_base_step,
     make_train_step,
     init_training,
     train_single_kernel,
     random_crops,
 )
+from .fleet import make_fleet_step, train_fleet

@@ -1,0 +1,265 @@
+"""Fleet kernel estimation: vmapped per-scene KernelGAN training.
+
+The reference estimates one degradation kernel PER SCENE by running
+`single_kernel/train.py:121-355` once per scene, serially, on one
+device. The models are tiny (~1M params, batch 16 of 256^2 patches), so
+a TPU chip running one scene's GAN is mostly idle.
+
+The TPU-first answer: stack S scenes' training states and patch pools
+on device and `vmap` the SAME combined D+G step over the scene axis —
+one dispatch advances every scene's GAN one iteration. Because the
+per-scene GANs are fully independent, sharding the scene axis over the
+mesh scales the fleet across chips with ZERO collectives (this is batch
+parallelism over *models*, unlike the 'data' sharding inside one model
+in `train_single_kernel`).
+
+Per-scene artifact parity is preserved exactly: each scene gets its own
+`training_log.txt` (same CSV header), `kernel_iter{N}.npy` /
+`kernel_per_band_iter{N}.npy` dumps, and final `kernel_per_band.npy` +
+`kernel_merged.npy`, under `cfg.outdir/<scene_name>/`. Scene s trains
+with seed `cfg.seed + s`, so its results are numerically equivalent to
+a standalone `train_single_kernel` run at that seed (tested in
+`tests/test_train_fleet.py`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8 top-level API; the experimental alias is deprecated
+    from jax import shard_map
+
+    _VMA_KW = {"check_vma": False}
+except ImportError:  # pragma: no cover - older jax spells it check_rep
+    from jax.experimental.shard_map import shard_map
+
+    _VMA_KW = {"check_rep": False}
+
+from ..data.sampler import PatchPool
+from ..models.generator import extract_kernels
+from .single_kernel import (
+    LOG_HEADER,
+    _LOG_KEYS,
+    SingleKernelConfig,
+    init_training,
+    make_base_step,
+)
+from .state import maybe_resume, save_checkpoint
+
+
+def _stack_states(states):
+    """Per-scene GANTrainState list -> one state with leading scene axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _stack_pools(pools: Sequence[PatchPool]) -> tuple[np.ndarray, list[int]]:
+    """[S] pools -> ([S, N_max, C, H, W] array, per-scene sizes).
+
+    Pools may differ in size; shorter pools are cycle-padded to N_max.
+    Padding rows are NEVER sampled (indices are drawn in [0, n_s) per
+    scene), so the padding content is irrelevant — cycling just keeps
+    the array NaN-free for the pool's own gate.
+    """
+    shapes = {p.patches.shape[1:] for p in pools}
+    if len(shapes) != 1:
+        raise ValueError(f"pools must share the patch shape, got {shapes}")
+    sizes = [len(p) for p in pools]
+    n_max = max(sizes)
+    stacked = np.empty((len(pools), n_max) + pools[0].patches.shape[1:],
+                       np.float32)
+    for s, p in enumerate(pools):
+        stacked[s, : sizes[s]] = p.patches
+        for j in range(sizes[s], n_max):
+            stacked[s, j] = p.patches[j % sizes[s]]
+    return stacked, sizes
+
+
+def make_fleet_step(cfg: SingleKernelConfig, mesh=None):
+    """The jitted fleet step: (state_S, pool_S, hr_idx_S, crop_idx_S) ->
+    (state_S, metrics_S). Every argument carries a leading scene axis.
+
+    With a mesh, the vmapped step is wrapped in `shard_map` over the
+    scene axis: each device runs its local scenes' GANs with no
+    collectives. (Plain GSPMD propagation is NOT usable here — vmap
+    folds the scene axis into the generator's feature_group_count, and
+    the partitioner cannot split that grouped conv across devices.)"""
+    base = make_base_step(cfg)
+
+    def one(state, pool_dev, hr_idx, crop_idx):
+        return base(
+            state,
+            jnp.take(pool_dev, hr_idx, axis=0),
+            jnp.take(pool_dev, crop_idx, axis=0),
+        )
+
+    vstep = jax.vmap(one)
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        vstep = shard_map(
+            vstep,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+            **_VMA_KW,
+        )
+    return jax.jit(vstep, donate_argnums=(0,))
+
+
+def train_fleet(
+    pools: Sequence[PatchPool],
+    cfg: SingleKernelConfig = SingleKernelConfig(),
+    scene_names: Optional[Sequence[str]] = None,
+    mesh=None,
+    progress: bool = True,
+) -> dict:
+    """Train one KernelGAN per pool, all simultaneously.
+
+    pools: one PatchPool per scene (HR patches, same [C, H, W] shape).
+    cfg: shared hyper-parameters; scene s uses seed `cfg.seed + s` and
+    writes artifacts under `cfg.outdir/<scene_names[s]>/`.
+    mesh: optional 1-axis mesh — the SCENE axis is sharded over it
+    (len(pools) must be a multiple of the mesh size; no collectives).
+
+    Returns {"scene_names", "kernel_per_band" [S,C,kH,kW],
+    "kernel_merged" [S,kH,kW], "state", "log_files"}.
+    """
+    s_total = len(pools)
+    if s_total == 0:
+        raise ValueError("train_fleet needs at least one pool")
+    if cfg.steps_per_call != 1:
+        raise ValueError("fleet training runs K=1 steps per dispatch")
+    if cfg.real_is_lr:
+        raise ValueError("real_is_lr is not supported in fleet mode")
+    names = list(scene_names) if scene_names else [
+        f"scene_{s:03d}" for s in range(s_total)
+    ]
+    if len(names) != s_total or len(set(names)) != s_total:
+        raise ValueError("scene_names must be unique, one per pool")
+    outdirs = [os.path.join(cfg.outdir, n) for n in names]
+    for d in outdirs:
+        os.makedirs(d, exist_ok=True)
+
+    state = _stack_states(
+        [init_training(dataclasses.replace(cfg, seed=cfg.seed + s))
+         for s in range(s_total)]
+    )
+    stacked, sizes = _stack_pools(pools)
+
+    ckpt_dir = os.path.join(cfg.outdir, "ckpt")
+    state, start_iter = maybe_resume(cfg, state, ckpt_dir,
+                                     announce=cfg.verbose)
+
+    pool_dev = jnp.asarray(stacked)
+    put = jnp.asarray
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
+        if s_total % n_dev:
+            raise ValueError(
+                f"{s_total} scenes not divisible over {n_dev} devices"
+            )
+        shard = NamedSharding(mesh, P(axis))
+        pool_dev = jax.device_put(pool_dev, shard)
+        state = jax.device_put(state, shard)
+        put = lambda a: jax.device_put(a, shard)  # noqa: E731
+
+    step_fn = make_fleet_step(cfg, mesh=mesh)
+    # per-scene host RNG streams identical to a standalone run at seed+s
+    host_rngs = [
+        np.random.default_rng(cfg.seed + s + start_iter)
+        for s in range(s_total)
+    ]
+    log_files = [os.path.join(d, "training_log.txt") for d in outdirs]
+    if start_iter == 0:
+        for f in log_files:
+            with open(f, "w", encoding="utf-8") as fh:
+                fh.write(LOG_HEADER)
+
+    log_rows: list = []
+
+    def flush():
+        if not log_rows:
+            return
+        # one host sync per flush: materialize each buffered metric once
+        mats = [
+            (i0, {k: np.asarray(m[k]) for k in _LOG_KEYS})
+            for i0, m in log_rows
+        ]
+        for s, f in enumerate(log_files):
+            with open(f, "a", encoding="utf-8") as fh:
+                for i0, m in mats:
+                    fh.write(
+                        f"{i0},"
+                        + ",".join(f"{m[k][s]:.6f}" for k in _LOG_KEYS)
+                        + "\n"
+                    )
+        log_rows.clear()
+
+    iterator = range(start_iter, cfg.iters)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(iterator, desc=f"Fleet[{s_total}]", unit="iter")
+        except ImportError:
+            pass
+
+    metrics = None
+    for t in iterator:
+        hr_l, crop_l = [], []
+        for s, r in enumerate(host_rngs):
+            hr_l.append(r.integers(0, sizes[s], size=cfg.batch_size))
+            crop_l.append(r.integers(0, sizes[s], size=cfg.batch_size))
+        state, metrics = step_fn(
+            state, pool_dev,
+            put(np.stack(hr_l).astype(np.int32)),
+            put(np.stack(crop_l).astype(np.int32)),
+        )
+        log_rows.append((t + 1, metrics))
+
+        if (t + 1) % cfg.log_every == 0:
+            flush()
+            if progress and hasattr(iterator, "set_postfix"):
+                iterator.set_postfix(
+                    D=f"{float(np.mean(np.asarray(metrics['loss_D']))):.4f}",
+                    G=f"{float(np.mean(np.asarray(metrics['loss_G_adv']))):.4f}",
+                )
+
+        if cfg.save_intermediate and (t + 1) % cfg.kernel_log_every == 0:
+            ks = np.asarray(metrics["kernels"])  # [S, C, kH, kW]
+            for s, d in enumerate(outdirs):
+                np.save(os.path.join(d, f"kernel_iter{t + 1}.npy"),
+                        ks[s].mean(axis=0))
+                np.save(os.path.join(d, f"kernel_per_band_iter{t + 1}.npy"),
+                        ks[s])
+
+        if cfg.ckpt_every and (t + 1) % cfg.ckpt_every == 0:
+            save_checkpoint(ckpt_dir, state, t + 1)
+
+    flush()
+    # extraction runs on the default device: G params are tiny, and the
+    # vmapped composition's grouped conv cannot be GSPMD-partitioned
+    # along the scene axis (same reason the step uses shard_map)
+    g_params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a)), state.g_params
+    )
+    ks_final = np.asarray(jax.vmap(lambda p: extract_kernels(p))(
+        g_params
+    ))  # [S, C, kH, kW]
+    merged = ks_final.mean(axis=1)
+    for s, d in enumerate(outdirs):
+        np.save(os.path.join(d, "kernel_per_band.npy"), ks_final[s])
+        np.save(os.path.join(d, "kernel_merged.npy"), merged[s])
+    return {
+        "scene_names": names,
+        "kernel_per_band": ks_final,
+        "kernel_merged": merged,
+        "state": state,
+        "log_files": log_files,
+    }

@@ -125,14 +125,10 @@ def random_crops(key: jax.Array, src: jax.Array, crop: int) -> jax.Array:
     return jax.vmap(crop_one)(src, ys, xs)
 
 
-def make_train_step(cfg: SingleKernelConfig, device_pool: bool = False) -> Callable:
-    """Build the jitted combined D+G train step.
-
-    step(state, hr_batch, crop_src_batch) -> (new_state, metrics), or with
-    `device_pool=True`: step(state, pool_dev, hr_idx, crop_idx) — the batch
-    gather happens on device from an HBM-resident pool, so each iteration
-    uploads two int32 index vectors instead of ~2x batch x 5 x 256^2 floats.
-    """
+def make_base_step(cfg: SingleKernelConfig) -> Callable:
+    """The UNJITTED combined D+G step: step(state, hr, crop_src) ->
+    (new_state, metrics). Pure function of its inputs — `make_train_step`
+    jits it; `train.fleet` vmaps it over a scene axis."""
     g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
     d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
     factor = cfg.generator.factor
@@ -196,6 +192,21 @@ def make_train_step(cfg: SingleKernelConfig, device_pool: bool = False) -> Calla
             "kernels": ks,  # [C, kH, kW] — free: already extracted in-step
         }
         return new_state, metrics
+
+    return step
+
+
+def make_train_step(cfg: SingleKernelConfig, device_pool: bool = False) -> Callable:
+    """Build the jitted combined D+G train step.
+
+    step(state, hr_batch, crop_src_batch) -> (new_state, metrics), or with
+    `device_pool=True`: step(state, pool_dev, hr_idx, crop_idx) — the batch
+    gather happens on device from an HBM-resident pool, so each iteration
+    uploads two int32 index vectors instead of ~2x batch x 5 x 256^2 floats.
+    """
+    g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
+    d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
+    step = make_base_step(cfg)
 
     if device_pool and cfg.steps_per_call > 1:
         return (

@@ -1,0 +1,178 @@
+"""Fleet trainer: vmapped per-scene KernelGAN training.
+
+The fleet must be numerically equivalent to standalone per-scene runs
+(same seeds, same host-RNG sampling streams) and indifferent to scene-
+axis sharding (per-scene GANs are independent — zero collectives).
+"""
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmsr_tpu.data.sampler import PatchPool
+from kmsr_tpu.models.discriminator import DiscriminatorConfig
+from kmsr_tpu.models.generator import GeneratorConfig
+from kmsr_tpu.train.fleet import _stack_pools, train_fleet
+from kmsr_tpu.train.single_kernel import SingleKernelConfig, train_single_kernel
+
+
+def tiny_cfg(outdir, iters=4, **kw):
+    return SingleKernelConfig(
+        iters=iters,
+        hr_patch_size=32,
+        lr_crop_size=8,
+        batch_size=4,
+        log_every=2,
+        kernel_log_every=2,
+        generator=GeneratorConfig(mid_ch=8),
+        discriminator=DiscriminatorConfig(base_ch=16, num_blocks=2),
+        outdir=str(outdir),
+        verbose=False,
+        **kw,
+    )
+
+
+def make_pool(rng, n=6, size=32):
+    return PatchPool(rng.normal(5, 1, (n, 5, size, size)).astype(np.float32))
+
+
+def test_stack_pools_cycle_pad(rng):
+    p0 = make_pool(rng, n=3)
+    p1 = make_pool(rng, n=5)
+    stacked, sizes = _stack_pools([p0, p1])
+    assert stacked.shape == (2, 5, 5, 32, 32)
+    assert sizes == [3, 5]
+    np.testing.assert_array_equal(stacked[0, :3], p0.patches)
+    np.testing.assert_array_equal(stacked[0, 3], p0.patches[0])
+    np.testing.assert_array_equal(stacked[0, 4], p0.patches[1])
+    np.testing.assert_array_equal(stacked[1], p1.patches)
+
+
+@pytest.mark.slow
+def test_fleet_matches_standalone_runs(rng, tmp_path):
+    """Scene s of the fleet == train_single_kernel at seed base+s (same
+    kernels, same CSV losses)."""
+    pools = [make_pool(rng, n=6), make_pool(rng, n=9)]
+
+    fleet_out = train_fleet(
+        pools, tiny_cfg(tmp_path / "fleet", seed=7),
+        scene_names=["a", "b"], progress=False,
+    )
+
+    singles = []
+    for s, pool in enumerate(pools):
+        cfg = tiny_cfg(tmp_path / f"single_{s}", seed=7 + s,
+                       device_pool=True)
+        singles.append(train_single_kernel(pool, cfg, progress=False))
+
+    for s in range(2):
+        np.testing.assert_allclose(
+            fleet_out["kernel_per_band"][s],
+            singles[s]["kernel_per_band"],
+            rtol=1e-5, atol=1e-7,
+        )
+        with open(fleet_out["log_files"][s], encoding="utf-8") as f:
+            fleet_log = f.read().splitlines()
+        with open(singles[s]["log_file"], encoding="utf-8") as f:
+            single_log = f.read().splitlines()
+        assert fleet_log[0] == single_log[0]
+        assert len(fleet_log) == len(single_log) == 5  # header + 4 iters
+        for lf, ls in zip(fleet_log[1:], single_log[1:]):
+            vf = np.array([float(x) for x in lf.split(",")])
+            vs = np.array([float(x) for x in ls.split(",")])
+            np.testing.assert_allclose(vf, vs, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fleet_artifacts_and_intermediates(rng, tmp_path):
+    pools = [make_pool(rng), make_pool(rng)]
+    out = train_fleet(
+        pools, tiny_cfg(tmp_path / "f"), scene_names=["s0", "s1"],
+        progress=False,
+    )
+    assert out["kernel_per_band"].shape == (2, 5, 13, 13)
+    assert out["kernel_merged"].shape == (2, 13, 13)
+    for name in ("s0", "s1"):
+        d = tmp_path / "f" / name
+        for fname in ("training_log.txt", "kernel_per_band.npy",
+                      "kernel_merged.npy", "kernel_iter2.npy",
+                      "kernel_per_band_iter4.npy"):
+            assert (d / fname).exists(), fname
+        k = np.load(d / "kernel_per_band.npy")
+        assert np.isfinite(k).all()
+
+
+@pytest.mark.slow
+def test_fleet_scene_sharded_matches_unsharded(rng, tmp_path):
+    """Sharding the scene axis over the 8-device mesh reproduces the
+    unsharded fleet (independent GANs -> no cross-device math)."""
+    from kmsr_tpu.parallel.mesh import make_mesh
+
+    mesh8 = make_mesh(axis_names=("scene",))
+    pools = [make_pool(rng, n=4) for _ in range(8)]
+    cfg = tiny_cfg(tmp_path / "unsharded", iters=2)
+    ref = train_fleet(pools, cfg, progress=False)
+    cfg_sh = dataclasses.replace(cfg, outdir=str(tmp_path / "sharded"))
+    got = train_fleet(pools, cfg_sh, mesh=mesh8, progress=False)
+    np.testing.assert_allclose(
+        got["kernel_per_band"], ref["kernel_per_band"], rtol=1e-5, atol=1e-7
+    )
+
+
+def test_fleet_rejects_bad_args(rng, tmp_path):
+    pools = [make_pool(rng)]
+    with pytest.raises(ValueError):
+        train_fleet([], tiny_cfg(tmp_path))
+    with pytest.raises(ValueError):
+        train_fleet(pools, tiny_cfg(tmp_path, steps_per_call=2))
+    with pytest.raises(ValueError):
+        train_fleet(pools, tiny_cfg(tmp_path), scene_names=["a", "b"])
+    with pytest.raises(ValueError):
+        train_fleet(pools + pools, tiny_cfg(tmp_path),
+                    scene_names=["a", "a"])
+
+
+@pytest.mark.slow
+def test_fleet_resume(rng, tmp_path):
+    """ckpt_every + resume continues the whole fleet: the step counter
+    carries over and each scene's CSV stays continuous (same contract as
+    the single-trainer resume test — the host index stream reseeds at
+    the resume point, so bitwise equality with an uninterrupted run is
+    not expected)."""
+    pools = [make_pool(rng), make_pool(rng)]
+    cfg = tiny_cfg(tmp_path / "res", iters=2, ckpt_every=2)
+    train_fleet(pools, cfg, progress=False)
+    assert (tmp_path / "res" / "ckpt" / "step_2").exists()
+    cfg2 = dataclasses.replace(cfg, iters=4, resume=True)
+    resumed = train_fleet(pools, cfg2, progress=False)
+    assert np.all(np.asarray(resumed["state"].step) == 4)
+    assert np.isfinite(resumed["kernel_per_band"]).all()
+    for f in resumed["log_files"]:
+        lines = open(f, encoding="utf-8").read().splitlines()
+        assert lines[0] == "Iteration,Loss_D,Loss_G_adv,Loss_Reg,Loss_Reg_weighted"
+        assert [ln.split(",")[0] for ln in lines[1:]] == ["1", "2", "3", "4"]
+
+
+@pytest.mark.slow
+def test_fleet_cli(rng, tmp_path):
+    from kmsr_tpu.pipeline.train_fleet_cli import main
+
+    root = tmp_path / "scenes"
+    for name in ("sceneA", "sceneB"):
+        d = root / name
+        os.makedirs(d)
+        for i in range(3):
+            np.save(d / f"p{i}.npy",
+                    rng.normal(5, 1, (5, 32, 32)).astype(np.float32))
+    out = tmp_path / "out"
+    rc = main([
+        "--patch-root", str(root), "--outdir", str(out), "--format", "npy",
+        "--iters", "2", "--batch-size", "2", "--lr-crop-size", "8",
+        "--log-every", "2", "--kernel-log-every", "2",
+    ])
+    assert rc == 0
+    for name in ("sceneA", "sceneB"):
+        assert (out / name / "kernel_per_band.npy").exists()
