@@ -148,3 +148,43 @@ def cut_to_files(
     return CutResult(
         total_patches=int(len(keep)), kept_patches=int(keep.sum()), files=files
     )
+
+
+# -- scene grouping ----------------------------------------------------------
+#
+# Every stage derives its output names from the cutter's
+# `<scene>_<gi:03d>_<gj:03d>` stems by appending tags (`_denoised`,
+# `_blurred`, `_train`), so the originating scene of any patch file is
+# recoverable from its name alone. The per-scene trainer/factory routes
+# (reference workflow: one kernel PER scene — `single_kernel/train.py`
+# is run once per scene) use this to regroup flat patch folders.
+
+_STAGE_TAGS_RE = None
+_GRID_RE = None
+
+
+def scene_prefix(path: str) -> str:
+    """Originating scene name of a patch-stage file path.
+
+    Strips known stage tags from the end of the stem, then the cutter's
+    trailing `_<gi>_<gj>` grid indices. A stem with no grid indices (not
+    produced by the cutter) is returned tag-stripped, whole.
+    """
+    global _STAGE_TAGS_RE, _GRID_RE
+    import re
+
+    if _STAGE_TAGS_RE is None:
+        _STAGE_TAGS_RE = re.compile(r"(_denoised|_blurred|_train)+$")
+        _GRID_RE = re.compile(r"_\d+_\d+$")
+    stem = os.path.splitext(os.path.basename(path))[0]
+    stem = _STAGE_TAGS_RE.sub("", stem)
+    return _GRID_RE.sub("", stem)
+
+
+def group_by_scene(files) -> dict:
+    """Sorted file list -> {scene_name: [files]} (insertion-ordered by
+    first appearance, which is sorted order for a sorted input)."""
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(scene_prefix(f), []).append(f)
+    return groups

@@ -128,6 +128,27 @@ class PatchPool:
         stacks = [np.load(f).astype(np.float32) for f in files]
         return cls(np.stack(stacks, axis=0), sources=files, allow_nan=allow_nan)
 
+    @classmethod
+    def from_files(
+        cls,
+        files: Sequence[str],
+        group: str = GROUP_DENOISED,
+        band_names: Sequence[str] = BAND_NAMES,
+        allow_nan: bool = False,
+    ) -> "PatchPool":
+        """Pool from an explicit file list (mixed use: per-scene subsets of
+        a flat patch dir). Format is per-file by extension (.npy / .nc)."""
+        if not files:
+            raise ValueError("from_files needs at least one file")
+        stacks = [
+            np.load(f).astype(np.float32)
+            if f.endswith(".npy")
+            else read_band_stack(f, group, band_names)
+            for f in files
+        ]
+        return cls(np.stack(stacks, axis=0), sources=list(files),
+                   allow_nan=allow_nan)
+
     # -- sampling -----------------------------------------------------------
     def __len__(self) -> int:
         return self.patches.shape[0]

@@ -57,6 +57,8 @@ def apply_kernel_to_folder(
     in_place: bool = False,
     progress: bool = True,
     moe_path: str | None = None,
+    kernel_root: str | None = None,
+    files: list[str] | None = None,
 ) -> RunReport:
     """Degrade every patch file; write `out_group` into a copy (or in place).
 
@@ -71,8 +73,41 @@ def apply_kernel_to_folder(
     import jax
 
     t0 = time.time()
-    if (moe_path is None) == (kernel_path is None):
-        raise ValueError("exactly one of kernel_path / moe_path is required")
+    if sum(p is not None for p in (kernel_path, moe_path, kernel_root)) != 1:
+        raise ValueError(
+            "exactly one of kernel_path / moe_path / kernel_root is required"
+        )
+    if files is None:
+        files = list_patch_files(input_dir, "*.nc")
+
+    if kernel_root is not None:
+        # per-scene kernels (fleet-trainer outdir layout); mirrors the
+        # fused factory's --kernel-root semantics, see factory.run_factory
+        from ..data.patches import group_by_scene
+
+        ok_all: list = []
+        fail_all: list = []
+        for scene, scene_files in group_by_scene(files).items():
+            k_path = os.path.join(kernel_root, scene, "kernel_per_band.npy")
+            if not os.path.exists(k_path):
+                fail_all.extend(
+                    (f, f"no kernel for scene {scene!r}: {k_path} missing")
+                    for f in scene_files
+                )
+                continue
+            rep = apply_kernel_to_folder(
+                input_dir, k_path, output_dir, factor=factor,
+                in_group=in_group, out_group=out_group, suffix=suffix,
+                batch_size=batch_size, in_place=in_place, progress=progress,
+                files=scene_files,
+            )
+            ok_all.extend(rep.succeeded)
+            fail_all.extend(rep.failed)
+        report = RunReport(
+            succeeded=ok_all, failed=fail_all, seconds=time.time() - t0
+        )
+        print(f"apply_kernel[per-scene]: {report.summary()} -> {output_dir}")
+        return report
     # batch DP (single-kernel route only): the degrade is per-sample
     # independent, so the batch axis shards over all local devices and
     # GSPMD partitions the conv with no communication. The MoE route
@@ -112,7 +147,6 @@ def apply_kernel_to_folder(
 
         fn = jax.jit(moe_fn)
         kernel_src = os.path.basename(os.path.normpath(moe_path))
-    files = list_patch_files(input_dir, "*.nc")
     os.makedirs(output_dir, exist_ok=True)
 
     ok, fail = [], []
@@ -173,6 +207,9 @@ def build_parser() -> argparse.ArgumentParser:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--kernel", help="kernel .npy ([kH,kW], [C,kH,kW] or [B,C,kH,kW] batch-mean)")
     src.add_argument("--moe", help="content-adaptive mode: MoE model dir / .npz / reference .pth")
+    src.add_argument("--kernel-root",
+                     help="per-scene kernels: a fleet-trainer outdir "
+                          "(<scene>/kernel_per_band.npy)")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--factor", type=int, default=8)
     p.add_argument("--in-group", default=GROUP_DENOISED)
@@ -196,6 +233,7 @@ def main(argv=None) -> int:
         batch_size=a.batch_size,
         in_place=a.in_place,
         moe_path=a.moe,
+        kernel_root=a.kernel_root,
     )
     return 0 if report.n_fail == 0 else 1
 

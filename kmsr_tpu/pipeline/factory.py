@@ -187,6 +187,8 @@ def run_factory(
     moe_path: str | None = None,
     moe_noise: str = "pool",
     input_format: str = "auto",
+    kernel_root: str | None = None,
+    files: list[str] | None = None,
 ) -> RunReport:
     """moe_path switches the factory to content-adaptive mode: each HR
     patch is routed by the trained SelectorNet to its expert kernel
@@ -207,8 +209,10 @@ def run_factory(
     t0 = time.time()
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if (moe_path is None) == (kernel_path is None):
-        raise ValueError("exactly one of kernel_path / moe_path is required")
+    if sum(p is not None for p in (kernel_path, moe_path, kernel_root)) != 1:
+        raise ValueError(
+            "exactly one of kernel_path / moe_path / kernel_root is required"
+        )
     pool = np.load(noise_pool_path).astype(np.float32)  # [N, C, h, w]
     if input_format == "auto":
         import glob as _glob
@@ -218,9 +222,44 @@ def run_factory(
         input_format = "npy" if has_npy and not has_nc else "nc"
     if input_format not in ("nc", "npy"):
         raise ValueError(f"input_format must be auto|nc|npy, got {input_format!r}")
-    files = list_patch_files(
-        input_dir, "*.npy" if input_format == "npy" else "*.nc"
-    )
+    if files is None:
+        files = list_patch_files(
+            input_dir, "*.npy" if input_format == "npy" else "*.nc"
+        )
+
+    if kernel_root is not None:
+        # per-scene kernels (reference workflow: one KernelGAN per scene,
+        # `single_kernel/train.py` run once per scene — the fleet trainer's
+        # outdir layout): regroup the flat patch folder by scene prefix and
+        # run each scene's files through ITS kernel. A scene whose kernel
+        # artifact is missing fails as a unit (per-file accounting), the
+        # rest proceed.
+        from ..data.patches import group_by_scene
+
+        ok_all: list = []
+        fail_all: list = []
+        for scene, scene_files in group_by_scene(files).items():
+            k_path = os.path.join(kernel_root, scene, "kernel_per_band.npy")
+            if not os.path.exists(k_path):
+                fail_all.extend(
+                    (f, f"no kernel for scene {scene!r}: {k_path} missing")
+                    for f in scene_files
+                )
+                continue
+            rep = run_factory(
+                input_dir, k_path, noise_pool_path, output_dir,
+                factor=factor, in_group=in_group, batch_size=batch_size,
+                seed=seed, backend=backend, progress=progress,
+                moe_noise=moe_noise, input_format=input_format,
+                files=scene_files,
+            )
+            ok_all.extend(rep.succeeded)
+            fail_all.extend(rep.failed)
+        report = RunReport(
+            succeeded=ok_all, failed=fail_all, seconds=time.time() - t0
+        )
+        print(f"factory[per-scene kernels]: {report.summary()} -> {output_dir}")
+        return report
     os.makedirs(output_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     # noise indices are drawn per FILE up front (position-indexed), so
@@ -428,6 +467,10 @@ def main(argv=None) -> int:
                                    "moe_model.npz / reference moe_model.pth — "
                                    "each patch degrades with its selector-"
                                    "routed expert kernel")
+    src.add_argument("--kernel-root",
+                     help="per-scene kernels: a fleet-trainer outdir "
+                          "(<scene>/kernel_per_band.npy); each patch "
+                          "degrades with ITS scene's kernel")
     p.add_argument("--moe-noise", choices=["pool", "sigma"], default="pool",
                    help="pool: empirical noise-pool sample (E_ semantics); "
                         "sigma: the expert's learned per-band Gaussian")
@@ -448,7 +491,7 @@ def main(argv=None) -> int:
         a.input_dir, a.kernel, a.noise_pool, a.output_dir,
         factor=a.factor, in_group=a.in_group, batch_size=a.batch_size,
         seed=a.seed, backend=a.backend, moe_path=a.moe, moe_noise=a.moe_noise,
-        input_format=a.input_format,
+        input_format=a.input_format, kernel_root=a.kernel_root,
     )
     return 0 if report.n_fail == 0 else 1
 

@@ -8,7 +8,7 @@ orchestrator just sequences them over a shared workdir with per-stage
 timing and fail-fast accounting.
 
     [calibrate] -> cut -> denoise -> noise_pool
-        -> train_kernel(single|dynamic|moe)
+        -> train_kernel(single|fleet|dynamic|moe)
         -> factory (fused C_30+E_) | apply_kernel + make_train_data
         -> check_shapes -> [sr_train -> sr_infer] -> analyze
 
@@ -16,6 +16,13 @@ timing and fail-fast accounting.
     (`A_00Landsat_cal_rad.py:195-209`): set `landsat_root` to a directory
     of raw Landsat C2 L1 scene dirs (GeoTIFF+MTL) and enable it, and one
     config drives TIF+MTL all the way to SR training pairs.
+
+    trainer "fleet" runs the reference's ACTUAL single-kernel workflow —
+    one kernel PER scene (`single_kernel/train.py` is invoked once per
+    scene there) — as one vmapped fleet run (`train.fleet`), and the
+    downstream factory/apply stage degrades each scene's patches with
+    ITS kernel (`--kernel-root`). trainer "single" pools all scenes'
+    patches into one kernel.
 
 Usage:
     python -m kmsr_tpu.pipeline.run_all --write-config pipeline.json
@@ -37,7 +44,7 @@ DEFAULT_CONFIG: dict = {
     "workdir": "kmsr_run",
     "input_dir": "scenes",  # calibrated 5-band .nc scenes (geophysical_data)
     "landsat_root": None,  # raw Landsat C2 L1 scene dirs; used by calibrate
-    "trainer": "single",  # single | dynamic | moe
+    "trainer": "single",  # single | fleet (per-scene kernels) | dynamic | moe
     "use_fused_factory": True,  # one device pass (C_30+E_); else apply+make
     "stages": {
         "calibrate": {
@@ -123,11 +130,15 @@ def run_pipeline(config: dict, from_stage: str | None = None,
         "sr_out": os.path.join(work, "sr_out"),
     }
     trainer = cfg["trainer"]
-    if trainer not in ("single", "dynamic", "moe"):
-        raise ValueError(f"trainer must be single|dynamic|moe, got {trainer}")
+    if trainer not in ("single", "fleet", "dynamic", "moe"):
+        raise ValueError(
+            f"trainer must be single|fleet|dynamic|moe, got {trainer}"
+        )
+    # fleet has no single artifact: downstream stages get kernel_root
+    # (per-scene <scene>/kernel_per_band.npy under the trainer outdir)
     kernel_art = os.path.join(
         paths["gan"],
-        {"single": "kernel_per_band.npy",
+        {"single": "kernel_per_band.npy", "fleet": "",
          "dynamic": os.path.join("final_results", "kernel_per_band.npy"),
          "moe": "kernel_0.npy"}[trainer],
     )
@@ -144,13 +155,14 @@ def run_pipeline(config: dict, from_stage: str | None = None,
         from . import (  # local imports: each stage pulls jax lazily
             calibrate_landsat, check_shapes, cut, denoise_cli, factory,
             make_train_data, noise_pool_cli, sr_infer, sr_scene,
-            train_dynamic_cli, train_moe_cli, train_single_kernel_cli,
-            train_sr_cli, apply_kernel,
+            train_dynamic_cli, train_fleet_cli, train_moe_cli,
+            train_single_kernel_cli, train_sr_cli, apply_kernel,
         )
         from ..analysis import log_analyzer
 
         train_main = {
             "single": train_single_kernel_cli.main,
+            "fleet": train_fleet_cli.main,
             "dynamic": train_dynamic_cli.main,
             "moe": train_moe_cli.main,
         }[trainer]
@@ -176,6 +188,7 @@ def run_pipeline(config: dict, from_stage: str | None = None,
             # factory's --moe mode; single/dynamic use their final kernel
             kernel_sel = (
                 {"moe": paths["gan"]} if trainer == "moe"
+                else {"kernel_root": paths["gan"]} if trainer == "fleet"
                 else {"kernel": kernel_art}
             )
             steps.append(("factory", factory.main, _argv(
@@ -185,8 +198,12 @@ def run_pipeline(config: dict, from_stage: str | None = None,
         else:
             fac = dict(s["factory"])
             fac.pop("seed", None)
+            k_sel = (
+                {"kernel_root": paths["gan"]} if trainer == "fleet"
+                else {"kernel": kernel_art}
+            )
             steps.append(("apply_kernel", apply_kernel.main, _argv(
-                fac, input_dir=paths["denoised"], kernel=kernel_art,
+                fac, input_dir=paths["denoised"], **k_sel,
                 output_dir=paths["blurred"])))
             steps.append(("make_train_data", make_train_data.main, _argv(
                 {"seed": s["factory"].get("seed", 42)},
@@ -213,8 +230,24 @@ def run_pipeline(config: dict, from_stage: str | None = None,
             width=s["sr_train"].get("width", 32),
             n_blocks=s["sr_train"].get("n_blocks", 4),
             upsampler=s["sr_train"].get("upsampler", "oneshot"))))
-        steps.append(("analyze", log_analyzer.main,
-                      [os.path.join(paths["gan"], "training_log.txt")]))
+        if trainer == "fleet":
+            def analyze_fleet(_argv_unused):
+                import glob
+
+                logs = sorted(glob.glob(
+                    os.path.join(paths["gan"], "*", "training_log.txt")
+                ))
+                for log in logs:
+                    print(f"[run_all] analyze: {log}")
+                    rc = log_analyzer.main([log])
+                    if rc not in (0, None):
+                        return rc
+                return 0
+
+            steps.append(("analyze", analyze_fleet, []))
+        else:
+            steps.append(("analyze", log_analyzer.main,
+                          [os.path.join(paths["gan"], "training_log.txt")]))
         return steps
 
     enabled = {
@@ -230,8 +263,9 @@ def run_pipeline(config: dict, from_stage: str | None = None,
         "sr_train": s["sr_train"]["enabled"],
         "sr_infer": s["sr_infer"]["enabled"],
         "sr_scene": s["sr_scene"]["enabled"],
-        # the analyzer only applies to the single-kernel CSV log
-        "analyze": s["analyze"]["enabled"] and trainer == "single",
+        # the analyzer only applies to the single-kernel-format CSV log
+        # (one log for trainer=single; one per scene for trainer=fleet)
+        "analyze": s["analyze"]["enabled"] and trainer in ("single", "fleet"),
     }
 
     timings: dict[str, float] = {}

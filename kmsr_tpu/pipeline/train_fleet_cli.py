@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="directory with one patch subdirectory per scene")
     src.add_argument("--patch-dirs", nargs="+",
                      help="explicit per-scene patch directories")
+    src.add_argument("--patch-dir",
+                     help="ONE flat patch directory (cutter/denoise output); "
+                          "files regroup into scenes by name prefix")
     p.add_argument("--outdir", required=True)
     p.add_argument("--group", default=GROUP_DENOISED)
     p.add_argument("--format", choices=("nc", "npy"), default="nc",
@@ -64,21 +67,32 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
-    if a.patch_root:
-        dirs = sorted(
-            os.path.join(a.patch_root, d)
-            for d in os.listdir(a.patch_root)
-            if os.path.isdir(os.path.join(a.patch_root, d))
-        )
-        if not dirs:
-            raise SystemExit(f"no scene subdirectories in {a.patch_root}")
+    if a.patch_dir:
+        from ..data.patches import group_by_scene
+        from ..data.sampler import list_patch_files
+
+        pattern = "*.npy" if a.format == "npy" else "*.nc"
+        groups = group_by_scene(list_patch_files(a.patch_dir, pattern))
+        names = list(groups)
+        pools = [
+            PatchPool.from_files(fs, group=a.group) for fs in groups.values()
+        ]
     else:
-        dirs = a.patch_dirs
-    names = [os.path.basename(os.path.normpath(d)) for d in dirs]
-    if a.format == "npy":
-        pools = [PatchPool.from_npy_dir(d) for d in dirs]
-    else:
-        pools = [PatchPool.from_nc_dir(d, group=a.group) for d in dirs]
+        if a.patch_root:
+            dirs = sorted(
+                os.path.join(a.patch_root, d)
+                for d in os.listdir(a.patch_root)
+                if os.path.isdir(os.path.join(a.patch_root, d))
+            )
+            if not dirs:
+                raise SystemExit(f"no scene subdirectories in {a.patch_root}")
+        else:
+            dirs = a.patch_dirs
+        names = [os.path.basename(os.path.normpath(d)) for d in dirs]
+        if a.format == "npy":
+            pools = [PatchPool.from_npy_dir(d) for d in dirs]
+        else:
+            pools = [PatchPool.from_nc_dir(d, group=a.group) for d in dirs]
     cfg = SingleKernelConfig(
         iters=a.iters,
         batch_size=a.batch_size,

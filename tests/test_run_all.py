@@ -78,6 +78,33 @@ def test_run_all_cli_roundtrip(tmp_path, scenes):
     assert not (tmp_path / "run" / "train_pairs").exists()
 
 
+@pytest.mark.slow
+def test_run_all_fleet_trainer_per_scene_kernels(tmp_path, scenes):
+    """trainer='fleet' is the reference's ACTUAL workflow — one kernel per
+    scene — end-to-end: the fleet trainer writes <scene>/kernel_per_band.npy
+    per input scene, the fused factory degrades each scene's patches with
+    ITS kernel, and analyze covers every scene's log."""
+    cfg = tiny_config(tmp_path, scenes)
+    cfg["trainer"] = "fleet"
+    timings = run_pipeline(cfg)
+    assert list(timings) == [
+        "cut", "denoise", "noise_pool", "train_kernel", "factory",
+        "check_shapes", "analyze",
+    ]
+    run = tmp_path / "run"
+    for scene in ("s0", "s1"):
+        k = np.load(run / "kernel_run" / scene / "kernel_per_band.npy")
+        assert k.shape == (5, 13, 13)
+        np.testing.assert_allclose(k.sum(axis=(1, 2)), 1.0, rtol=1e-4)
+        assert (run / "kernel_run" / scene / "training_log.txt").exists()
+    pairs = [p for p in os.listdir(run / "train_pairs") if p.endswith(".nc")]
+    assert pairs
+    # every input scene produced pairs (per-scene routing covered both)
+    from kmsr_tpu.data.patches import scene_prefix
+
+    assert {scene_prefix(p) for p in pairs} == {"s0", "s1"}
+
+
 def test_run_all_rejects_bad_trainer(tmp_path, scenes):
     cfg = tiny_config(tmp_path, scenes)
     cfg["trainer"] = "bogus"
