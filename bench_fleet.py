@@ -1,0 +1,125 @@
+"""Fleet-trainer benchmark: simultaneous per-scene KernelGAN throughput.
+
+The reference trains one KernelGAN per scene, serially
+(`single_kernel/train.py` re-run per scene); one scene's GAN (~1M
+params, batch 16 of 256^2 patches) underfills a TPU chip. The fleet
+trainer (`train.fleet`) vmaps the SAME combined D+G step over a stacked
+scene axis, so one dispatch advances every scene one iteration.
+
+This bench measures steady-state scene-iterations/s for an S-scene
+fleet vs the single-scene trainer on the same chip and prints ONE JSON
+line (same contract as bench.py):
+
+    {"metric": "fleet_scene_iters_per_s", "value": N,
+     "unit": "scene-iters/s", "vs_baseline": N}
+
+where vs_baseline is the speedup of the fleet over running the S
+scenes serially (S * single-scene step time / fleet step time).
+
+Env: KMSR_FLEET_SCENES (default 8), KMSR_FLEET_POOL (patches per scene,
+default 32), KMSR_FLEET_ITERS (timed iterations, default 30),
+KMSR_FLEET_HR / KMSR_FLEET_BATCH (shrink the reference 256^2 / 16
+schedule for smoke runs).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _median_step(step, state, args, iters: int, warmup: int = 3):
+    import jax
+
+    windows = int(os.environ.get("KMSR_FLEET_WINDOWS", "5"))
+    for _ in range(warmup):
+        state, metrics = step(state, *args)
+    jax.block_until_ready(metrics)
+    # scalar readback fences each window (block_until_ready is a no-op
+    # on remote tunnel buffers)
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, *args)
+        float(np.asarray(metrics["loss_D"]).sum())
+        times.append((time.perf_counter() - t0) / iters)
+    return sorted(times)[len(times) // 2], state
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from kmsr_tpu.train.fleet import _stack_states, make_fleet_step
+    from kmsr_tpu.train.single_kernel import (
+        SingleKernelConfig,
+        init_training,
+        make_train_step,
+    )
+
+    s_total = int(os.environ.get("KMSR_FLEET_SCENES", "8"))
+    n_pool = int(os.environ.get("KMSR_FLEET_POOL", "32"))
+    iters = int(os.environ.get("KMSR_FLEET_ITERS", "30"))
+    hr = int(os.environ.get("KMSR_FLEET_HR", "256"))
+    cfg = SingleKernelConfig(  # reference schedule: batch 16, 256^2 HR
+        hr_patch_size=hr,
+        lr_crop_size=hr // 8,
+        batch_size=int(os.environ.get("KMSR_FLEET_BATCH", "16")),
+    )
+    rng = np.random.default_rng(0)
+    import dataclasses
+
+    # one HBM pool per scene; index batches stay fixed (device-resident)
+    # so the timed loop measures pure step compute, like training with
+    # steps_per_call>1 does
+    pools = jnp.asarray(
+        rng.normal(5, 1, (s_total, n_pool, 5, cfg.hr_patch_size,
+                          cfg.hr_patch_size)).astype(np.float32)
+    )
+    hr_idx = jnp.asarray(
+        rng.integers(0, n_pool, (s_total, cfg.batch_size)).astype(np.int32)
+    )
+    crop_idx = jnp.asarray(
+        rng.integers(0, n_pool, (s_total, cfg.batch_size)).astype(np.int32)
+    )
+
+    # --- single-scene baseline (device-pool step, the production path) --
+    single_step, _ = make_train_step(cfg, device_pool=True)
+    state1 = init_training(cfg)
+    t_single, _ = _median_step(
+        single_step, state1, (pools[0], hr_idx[0], crop_idx[0]), iters
+    )
+
+    # --- fleet ----------------------------------------------------------
+    fleet_step = make_fleet_step(cfg)
+    state = _stack_states(
+        [init_training(dataclasses.replace(cfg, seed=s))
+         for s in range(s_total)]
+    )
+    t_fleet, _ = _median_step(
+        fleet_step, state, (pools, hr_idx, crop_idx), iters
+    )
+
+    scene_iters = s_total / t_fleet
+    speedup = s_total * t_single / t_fleet
+    print(
+        f"# single-scene step: {t_single * 1e3:.2f} ms"
+        f" | fleet[{s_total}] step: {t_fleet * 1e3:.2f} ms"
+        f" | {scene_iters:.1f} scene-iters/s"
+        f" | {speedup:.2f}x vs serial",
+        flush=True,
+    )
+    print(json.dumps({
+        "metric": "fleet_scene_iters_per_s",
+        "value": round(scene_iters, 2),
+        "unit": "scene-iters/s",
+        "vs_baseline": round(speedup, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
