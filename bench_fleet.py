@@ -87,7 +87,7 @@ def main() -> int:
     )
 
     # --- single-scene baseline (device-pool step, the production path) --
-    single_step, _ = make_train_step(cfg, device_pool=True)
+    single_step = make_train_step(cfg, device_pool=True)
     state1 = init_training(cfg)
     t_single, _ = _median_step(
         single_step, state1, (pools[0], hr_idx[0], crop_idx[0]), iters

@@ -167,15 +167,17 @@ def scene_prefix(path: str) -> str:
     """Originating scene name of a patch-stage file path.
 
     Strips known stage tags from the end of the stem, then the cutter's
-    trailing `_<gi>_<gj>` grid indices. A stem with no grid indices (not
-    produced by the cutter) is returned tag-stripped, whole.
+    trailing `_<gi:03d>_<gj:03d>` grid indices (both zero-padded to >= 3
+    digits — a scene name's own short numeric tail like `_2021_01`
+    survives). A stem with no grid indices (not produced by the cutter)
+    is returned tag-stripped, whole.
     """
     global _STAGE_TAGS_RE, _GRID_RE
     import re
 
     if _STAGE_TAGS_RE is None:
         _STAGE_TAGS_RE = re.compile(r"(_denoised|_blurred|_train)+$")
-        _GRID_RE = re.compile(r"_\d+_\d+$")
+        _GRID_RE = re.compile(r"_\d{3,}_\d{3,}$")
     stem = os.path.splitext(os.path.basename(path))[0]
     stem = _STAGE_TAGS_RE.sub("", stem)
     return _GRID_RE.sub("", stem)

@@ -28,15 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.8 top-level API; the experimental alias is deprecated
-    from jax import shard_map
-
-    _VMA_KW = {"check_vma": False}
-except ImportError:  # pragma: no cover - older jax spells it check_rep
-    from jax.experimental.shard_map import shard_map
-
-    _VMA_KW = {"check_rep": False}
-
+from .compat import VMA_KW as _VMA_KW, shard_map
 from ..ops.degrade import compose_with_box, depthwise_conv2d, normalize_kernel
 from ..ops.degrade_scene_fast import degrade_rows_fast, halo_rows
 

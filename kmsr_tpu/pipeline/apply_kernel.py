@@ -83,31 +83,18 @@ def apply_kernel_to_folder(
     if kernel_root is not None:
         # per-scene kernels (fleet-trainer outdir layout); mirrors the
         # fused factory's --kernel-root semantics, see factory.run_factory
-        from ..data.patches import group_by_scene
+        from .common import route_per_scene_kernels
 
-        ok_all: list = []
-        fail_all: list = []
-        for scene, scene_files in group_by_scene(files).items():
-            k_path = os.path.join(kernel_root, scene, "kernel_per_band.npy")
-            if not os.path.exists(k_path):
-                fail_all.extend(
-                    (f, f"no kernel for scene {scene!r}: {k_path} missing")
-                    for f in scene_files
-                )
-                continue
-            rep = apply_kernel_to_folder(
+        return route_per_scene_kernels(
+            files, kernel_root,
+            lambda scene, k_path, scene_files: apply_kernel_to_folder(
                 input_dir, k_path, output_dir, factor=factor,
                 in_group=in_group, out_group=out_group, suffix=suffix,
                 batch_size=batch_size, in_place=in_place, progress=progress,
                 files=scene_files,
-            )
-            ok_all.extend(rep.succeeded)
-            fail_all.extend(rep.failed)
-        report = RunReport(
-            succeeded=ok_all, failed=fail_all, seconds=time.time() - t0
+            ),
+            "apply_kernel", output_dir,
         )
-        print(f"apply_kernel[per-scene]: {report.summary()} -> {output_dir}")
-        return report
     # batch DP (single-kernel route only): the degrade is per-sample
     # independent, so the batch axis shards over all local devices and
     # GSPMD partitions the conv with no communication. The MoE route

@@ -126,3 +126,41 @@ def maybe_trace(log_dir: Optional[str]):
 # Re-exported for the pipeline stages; the implementation lives in
 # parallel.local_dp (ops modules use it too and must not import pipeline).
 from ..parallel.local_dp import local_batch_dp, pad_put  # noqa: E402,F401
+
+
+def route_per_scene_kernels(
+    files: list, kernel_root: str, run_scene: Callable, label: str,
+    output_dir: str,
+) -> RunReport:
+    """Shared per-scene kernel routing (fleet-trainer outdir layout).
+
+    Groups `files` by originating scene (`data.patches.scene_prefix`),
+    probes `<kernel_root>/<scene>/kernel_per_band.npy`, and calls
+    `run_scene(kernel_path, scene_files) -> RunReport` per scene with a
+    kernel; a scene whose kernel artifact is missing fails as a unit
+    (per-file accounting, reference failure-isolation contract), the
+    rest proceed. Used by both the fused factory and apply_kernel.
+    """
+    import os
+
+    from ..data.patches import group_by_scene
+
+    t0 = time.time()
+    ok_all: list = []
+    fail_all: list = []
+    for scene, scene_files in group_by_scene(files).items():
+        k_path = os.path.join(kernel_root, scene, "kernel_per_band.npy")
+        if not os.path.exists(k_path):
+            fail_all.extend(
+                (f, f"no kernel for scene {scene!r}: {k_path} missing")
+                for f in scene_files
+            )
+            continue
+        rep = run_scene(scene, k_path, scene_files)
+        ok_all.extend(rep.succeeded)
+        fail_all.extend(rep.failed)
+    report = RunReport(
+        succeeded=ok_all, failed=fail_all, seconds=time.time() - t0
+    )
+    print(f"{label}[per-scene kernels]: {report.summary()} -> {output_dir}")
+    return report

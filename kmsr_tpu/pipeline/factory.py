@@ -173,6 +173,15 @@ def _npy_split_batches(files, batch_size, shape, factor):
             loader.close()
 
 
+def scene_seed(seed: int, scene: str) -> int:
+    """Derived noise seed for one scene of a per-scene (--kernel-root)
+    factory run: stable across runs AND across scene-set changes (the
+    scene NAME is mixed in, not its position)."""
+    import zlib
+
+    return (seed ^ zlib.crc32(scene.encode("utf-8"))) & 0x7FFFFFFF
+
+
 def run_factory(
     input_dir: str,
     kernel_path: str | None,
@@ -213,7 +222,6 @@ def run_factory(
         raise ValueError(
             "exactly one of kernel_path / moe_path / kernel_root is required"
         )
-    pool = np.load(noise_pool_path).astype(np.float32)  # [N, C, h, w]
     if input_format == "auto":
         import glob as _glob
 
@@ -230,36 +238,23 @@ def run_factory(
     if kernel_root is not None:
         # per-scene kernels (reference workflow: one KernelGAN per scene,
         # `single_kernel/train.py` run once per scene — the fleet trainer's
-        # outdir layout): regroup the flat patch folder by scene prefix and
-        # run each scene's files through ITS kernel. A scene whose kernel
-        # artifact is missing fails as a unit (per-file accounting), the
-        # rest proceed.
-        from ..data.patches import group_by_scene
+        # outdir layout): each scene's files run through ITS kernel
+        from .common import route_per_scene_kernels
 
-        ok_all: list = []
-        fail_all: list = []
-        for scene, scene_files in group_by_scene(files).items():
-            k_path = os.path.join(kernel_root, scene, "kernel_per_band.npy")
-            if not os.path.exists(k_path):
-                fail_all.extend(
-                    (f, f"no kernel for scene {scene!r}: {k_path} missing")
-                    for f in scene_files
-                )
-                continue
-            rep = run_factory(
+        return route_per_scene_kernels(
+            files, kernel_root,
+            lambda scene, k_path, scene_files: run_factory(
                 input_dir, k_path, noise_pool_path, output_dir,
                 factor=factor, in_group=in_group, batch_size=batch_size,
-                seed=seed, backend=backend, progress=progress,
-                moe_noise=moe_noise, input_format=input_format,
-                files=scene_files,
-            )
-            ok_all.extend(rep.succeeded)
-            fail_all.extend(rep.failed)
-        report = RunReport(
-            succeeded=ok_all, failed=fail_all, seconds=time.time() - t0
+                # distinct per-scene noise stream: with a shared seed every
+                # scene's i-th file would draw the SAME noise-pool entry
+                seed=scene_seed(seed, scene), backend=backend,
+                progress=progress, moe_noise=moe_noise,
+                input_format=input_format, files=scene_files,
+            ),
+            "factory", output_dir,
         )
-        print(f"factory[per-scene kernels]: {report.summary()} -> {output_dir}")
-        return report
+    pool = np.load(noise_pool_path).astype(np.float32)  # [N, C, h, w]
     os.makedirs(output_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     # noise indices are drawn per FILE up front (position-indexed), so
@@ -329,16 +324,7 @@ def run_factory(
         lane_quantum = LANE * len(devs)
         degrade_fn = degrade_pallas_presplit
         if len(devs) > 1:
-            # pallas_call outputs carry no varying-mesh-axes annotation:
-            # disable the check under whichever name this jax spells it
-            try:
-                from jax import shard_map
-
-                vma_kw = {"check_vma": False}
-            except ImportError:  # pragma: no cover - older jax
-                from jax.experimental.shard_map import shard_map
-
-                vma_kw = {"check_rep": False}
+            from ..parallel.compat import VMA_KW as vma_kw, shard_map
             from jax.sharding import Mesh, PartitionSpec as P
 
             mesh = Mesh(np.array(devs), ("data",))

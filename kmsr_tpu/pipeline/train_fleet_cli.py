@@ -67,12 +67,25 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
+    import jax
+
+    if jax.process_count() > 1:
+        # every scene needs its FULL pool on every process; the stages'
+        # default host-sharded file lists would give each host a partial,
+        # host-different subset and race the per-scene artifact writes
+        raise SystemExit(
+            "train_fleet_cli does not support multi-process launches; "
+            "run one process and use --scene-parallel to spread scenes "
+            "over this host's devices"
+        )
     if a.patch_dir:
         from ..data.patches import group_by_scene
         from ..data.sampler import list_patch_files
 
         pattern = "*.npy" if a.format == "npy" else "*.nc"
-        groups = group_by_scene(list_patch_files(a.patch_dir, pattern))
+        groups = group_by_scene(
+            list_patch_files(a.patch_dir, pattern, host_shard=False)
+        )
         names = list(groups)
         pools = [
             PatchPool.from_files(fs, group=a.group) for fs in groups.values()

@@ -32,15 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-try:  # jax >= 0.8 top-level API; the experimental alias is deprecated
-    from jax import shard_map
-
-    _VMA_KW = {"check_vma": False}
-except ImportError:  # pragma: no cover - older jax spells it check_rep
-    from jax.experimental.shard_map import shard_map
-
-    _VMA_KW = {"check_rep": False}
-
+from ..parallel.compat import VMA_KW as _VMA_KW, shard_map
 from ..data.sampler import PatchPool
 from ..models.generator import extract_kernels
 from .single_kernel import (

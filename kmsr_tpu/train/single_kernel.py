@@ -203,16 +203,13 @@ def make_train_step(cfg: SingleKernelConfig, device_pool: bool = False) -> Calla
     `device_pool=True`: step(state, pool_dev, hr_idx, crop_idx) — the batch
     gather happens on device from an HBM-resident pool, so each iteration
     uploads two int32 index vectors instead of ~2x batch x 5 x 256^2 floats.
+    (The optimizer transforms live inside the step, built by
+    `make_base_step`; the state they update comes from `init_training`.)
     """
-    g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
-    d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
     step = make_base_step(cfg)
 
     if device_pool and cfg.steps_per_call > 1:
-        return (
-            make_chunk_step(step, cfg.batch_size, cfg.steps_per_call),
-            (g_tx, d_tx),
-        )
+        return make_chunk_step(step, cfg.batch_size, cfg.steps_per_call)
 
     if device_pool:
 
@@ -223,9 +220,9 @@ def make_train_step(cfg: SingleKernelConfig, device_pool: bool = False) -> Calla
                 jnp.take(pool_dev, crop_idx, axis=0),
             )
 
-        return jax.jit(pool_step, donate_argnums=(0,)), (g_tx, d_tx)
+        return jax.jit(pool_step, donate_argnums=(0,))
 
-    return jax.jit(step, donate_argnums=(0,)), (g_tx, d_tx)
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def init_training(cfg: SingleKernelConfig):
@@ -288,7 +285,7 @@ def train_single_kernel(
     if use_device_pool and not hasattr(pool, "patches"):
         raise ValueError("device_pool needs an in-memory PatchPool")
 
-    step_fn, _ = make_train_step(cfg, device_pool=use_device_pool)
+    step_fn = make_train_step(cfg, device_pool=use_device_pool)
     state = init_training(cfg)
 
     # checkpoint resume (the reference has no resume path at all —

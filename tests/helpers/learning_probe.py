@@ -63,7 +63,7 @@ def main() -> int:
         discriminator=DiscriminatorConfig(base_ch=16, num_blocks=2),
         verbose=False,
     )
-    step_fn, _ = make_train_step(cfg)
+    step_fn = make_train_step(cfg)
     state = init_training(cfg)
     k_init = np.asarray(extract_kernels(state.g_params)).mean(axis=0)
 

@@ -29,6 +29,8 @@ def test_scene_prefix_contract():
     assert scene_prefix("sceneB_000_001_denoised_train.nc") == "sceneB"
     # not cutter-named: returned whole (tag-stripped)
     assert scene_prefix("whole_scene.nc") == "whole_scene"
+    # a short numeric tail is NOT grid indices (cutter pads to >=3 digits)
+    assert scene_prefix("scene_2021_01.nc") == "scene_2021_01"
     # a digit-bearing scene id must not lose its own tokens
     assert scene_prefix("LC08_L1TP_115035_20210317_02_T1_004_005.nc") == (
         "LC08_L1TP_115035_20210317_02_T1"
@@ -91,7 +93,7 @@ def _make_kernel_root(tmp_path, rng, scenes=("sceneA", "sceneB")):
 
 
 def test_factory_kernel_root_routes_per_scene(tmp_path, rng):
-    from kmsr_tpu.pipeline.factory import run_factory
+    from kmsr_tpu.pipeline.factory import run_factory, scene_seed
 
     patches = _make_patch_dir(tmp_path, rng)
     root, _ = _make_kernel_root(tmp_path, rng)
@@ -106,7 +108,8 @@ def test_factory_kernel_root_routes_per_scene(tmp_path, rng):
     assert rep.n_fail == 0 and rep.n_ok == 4
 
     # per-scene reference: the SAME files through run_factory with that
-    # scene's kernel directly must reproduce the routed outputs exactly
+    # scene's kernel (and its derived noise seed — each scene gets its
+    # OWN stream, not a shared one) must reproduce the routed outputs
     for scene in ("sceneA", "sceneB"):
         ref_out = tmp_path / f"ref_{scene}"
         scene_files = sorted(
@@ -115,13 +118,15 @@ def test_factory_kernel_root_routes_per_scene(tmp_path, rng):
         run_factory(
             str(patches), str(root / scene / "kernel_per_band.npy"),
             str(pool_file), str(ref_out), backend="xla", progress=False,
-            files=scene_files,
+            files=scene_files, seed=scene_seed(42, scene),
         )
         for p in sorted(ref_out.glob("*.nc")):
             got = read_band_stack(str(out / p.name), GROUP_LR)
             np.testing.assert_array_equal(
                 got, read_band_stack(str(p), GROUP_LR)
             )
+    # seed derivation is name-keyed: distinct scenes -> distinct streams
+    assert scene_seed(42, "sceneA") != scene_seed(42, "sceneB")
 
     # distinct kernels -> the two scenes' outputs genuinely differ
     a = read_band_stack(

@@ -46,7 +46,7 @@ def test_pool_nan_gate():
 @pytest.mark.slow
 def test_train_step_updates_and_finite(small_pool):
     cfg = tiny_cfg("/tmp/kmsr_test_out", iters=2)
-    step_fn, _ = make_train_step(cfg)
+    step_fn = make_train_step(cfg)
     state = init_training(cfg)
     rng = np.random.default_rng(0)
     hr = jnp.asarray(small_pool.sample(rng, cfg.batch_size))
@@ -104,7 +104,7 @@ def test_train_step_sharded_8dev_mesh(small_pool):
     mesh = make_mesh(axis_names=("data",))
     cfg = tiny_cfg("/tmp/kmsr_test_mesh", iters=1)
     cfg.batch_size = 8
-    step_fn, _ = make_train_step(cfg)
+    step_fn = make_train_step(cfg)
     state = jax.device_put(init_training(cfg), replicated(mesh))
     rng = np.random.default_rng(0)
     hr = shard_batch(mesh, small_pool.sample(rng, 8))
@@ -122,7 +122,7 @@ def test_sharded_matches_single_device(small_pool):
     mesh = make_mesh(axis_names=("data",))
     cfg = tiny_cfg("/tmp/kmsr_test_eq", iters=1)
     cfg.batch_size = 8
-    step_fn, _ = make_train_step(cfg)
+    step_fn = make_train_step(cfg)
     rng = np.random.default_rng(0)
     hr_np = small_pool.sample(rng, 8)
     crop_np = small_pool.sample(rng, 8)
@@ -152,7 +152,7 @@ def test_tp_matches_single_device(small_pool):
     mesh = make_mesh((2, 2), ("data", "model"))
     cfg = tiny_cfg("/tmp/kmsr_test_tp", iters=1)
     cfg.batch_size = 8
-    step_fn, _ = make_train_step(cfg)
+    step_fn = make_train_step(cfg)
     rng = np.random.default_rng(0)
     hr_np = small_pool.sample(rng, 8)
     crop_np = small_pool.sample(rng, 8)
