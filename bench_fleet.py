@@ -17,9 +17,10 @@ where vs_baseline is the speedup of the fleet over running the S
 scenes serially (S * single-scene step time / fleet step time).
 
 Env: KMSR_FLEET_SCENES (default 8), KMSR_FLEET_POOL (patches per scene,
-default 32), KMSR_FLEET_ITERS (timed iterations, default 30),
-KMSR_FLEET_HR / KMSR_FLEET_BATCH (shrink the reference 256^2 / 16
-schedule for smoke runs).
+default 32), KMSR_FLEET_ITERS (timed dispatches, default 30),
+KMSR_FLEET_K (steps_per_call: K>1 fuses K steps per dispatch into one
+on-device lax.scan, default 1), KMSR_FLEET_HR / KMSR_FLEET_BATCH
+(shrink the reference 256^2 / 16 schedule for smoke runs).
 """
 from __future__ import annotations
 
@@ -53,7 +54,11 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from kmsr_tpu.train.fleet import _stack_states, make_fleet_step
+    from kmsr_tpu.train.fleet import (
+        _stack_states,
+        make_fleet_chunk_step,
+        make_fleet_step,
+    )
     from kmsr_tpu.train.single_kernel import (
         SingleKernelConfig,
         init_training,
@@ -63,11 +68,13 @@ def main() -> int:
     s_total = int(os.environ.get("KMSR_FLEET_SCENES", "8"))
     n_pool = int(os.environ.get("KMSR_FLEET_POOL", "32"))
     iters = int(os.environ.get("KMSR_FLEET_ITERS", "30"))
+    k_steps = int(os.environ.get("KMSR_FLEET_K", "1"))
     hr = int(os.environ.get("KMSR_FLEET_HR", "256"))
     cfg = SingleKernelConfig(  # reference schedule: batch 16, 256^2 HR
         hr_patch_size=hr,
         lr_crop_size=hr // 8,
         batch_size=int(os.environ.get("KMSR_FLEET_BATCH", "16")),
+        steps_per_call=k_steps,
     )
     rng = np.random.default_rng(0)
     import dataclasses
@@ -89,25 +96,30 @@ def main() -> int:
     # --- single-scene baseline (device-pool step, the production path) --
     single_step = make_train_step(cfg, device_pool=True)
     state1 = init_training(cfg)
-    t_single, _ = _median_step(
-        single_step, state1, (pools[0], hr_idx[0], crop_idx[0]), iters
+    single_args = (
+        (pools[0],) if k_steps > 1 else (pools[0], hr_idx[0], crop_idx[0])
     )
+    t_single, _ = _median_step(single_step, state1, single_args, iters)
 
     # --- fleet ----------------------------------------------------------
-    fleet_step = make_fleet_step(cfg)
+    if k_steps > 1:
+        fleet_step = make_fleet_chunk_step(cfg)
+        fleet_args = (pools, jnp.full((s_total,), n_pool, jnp.int32))
+    else:
+        fleet_step = make_fleet_step(cfg)
+        fleet_args = (pools, hr_idx, crop_idx)
     state = _stack_states(
         [init_training(dataclasses.replace(cfg, seed=s))
          for s in range(s_total)]
     )
-    t_fleet, _ = _median_step(
-        fleet_step, state, (pools, hr_idx, crop_idx), iters
-    )
+    t_fleet, _ = _median_step(fleet_step, state, fleet_args, iters)
 
-    scene_iters = s_total / t_fleet
+    # a dispatch advances every scene k_steps iterations
+    scene_iters = s_total * k_steps / t_fleet
     speedup = s_total * t_single / t_fleet
     print(
-        f"# single-scene step: {t_single * 1e3:.2f} ms"
-        f" | fleet[{s_total}] step: {t_fleet * 1e3:.2f} ms"
+        f"# single-scene dispatch (K={k_steps}): {t_single * 1e3:.2f} ms"
+        f" | fleet[{s_total}] dispatch: {t_fleet * 1e3:.2f} ms"
         f" | {scene_iters:.1f} scene-iters/s"
         f" | {speedup:.2f}x vs serial",
         flush=True,

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume the whole fleet from OUTDIR/ckpt")
     p.add_argument("--seed", type=int, default=0,
                    help="scene s trains with seed SEED+s")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="K>1: fuse K steps per dispatch into one on-device "
+                        "lax.scan (per-scene device-PRNG sampling; logging/"
+                        "ckpt intervals must be K-multiples)")
     p.add_argument("--fast-forward", action="store_true",
                    help="run G as ONE composed depthwise conv")
     p.add_argument("--differentiable-reg", action="store_true")
@@ -119,6 +123,7 @@ def main(argv=None) -> int:
         resume=a.resume,
         outdir=a.outdir,
         seed=a.seed,
+        steps_per_call=a.steps_per_call,
         differentiable_reg=a.differentiable_reg,
         generator=GeneratorConfig(
             forward_mode="compose" if a.fast_forward else "chain"

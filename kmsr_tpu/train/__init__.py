@@ -14,4 +14,4 @@ from .single_kernel import (
     train_single_kernel,
     random_crops,
 )
-from .fleet import make_fleet_step, train_fleet
+from .fleet import make_fleet_chunk_step, make_fleet_step, train_fleet

@@ -72,6 +72,48 @@ def _stack_pools(pools: Sequence[PatchPool]) -> tuple[np.ndarray, list[int]]:
     return stacked, sizes
 
 
+def make_fleet_chunk_step(cfg: SingleKernelConfig, mesh=None):
+    """K-step scan chunk vmapped over the scene axis:
+    (state_S, pool_S, n_pool_S) -> (state_S, metrics_S[..., K-axis]).
+
+    Index sampling moves to each scene's device PRNG stream — the same
+    split order and randint draws as the single trainer's
+    `make_chunk_step`, so scene s of a chunked fleet is numerically
+    IDENTICAL to a standalone `steps_per_call=K` run at seed+s (tested).
+    Unlike the single trainer (where scan chunking is incompatible with
+    a DP mesh — sampling lives on one device), the fleet's sampling is
+    per-scene INSIDE the shard_map, so K>1 composes with scene
+    parallelism."""
+    base = make_base_step(cfg)
+    bs, k_steps = cfg.batch_size, cfg.steps_per_call
+
+    def one(state, pool_dev, n_pool):
+        def body(st, _):
+            rng, k_hr, k_cr = jax.random.split(st.rng, 3)
+            hr_idx = jax.random.randint(k_hr, (bs,), 0, n_pool)
+            cr_idx = jax.random.randint(k_cr, (bs,), 0, n_pool)
+            st = dataclasses.replace(st, rng=rng)
+            return base(
+                st,
+                jnp.take(pool_dev, hr_idx, axis=0),
+                jnp.take(pool_dev, cr_idx, axis=0),
+            )
+
+        return jax.lax.scan(body, state, None, length=k_steps)
+
+    vstep = jax.vmap(one)
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        vstep = shard_map(
+            vstep,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+            **_VMA_KW,
+        )
+    return jax.jit(vstep, donate_argnums=(0,))
+
+
 def make_fleet_step(cfg: SingleKernelConfig, mesh=None):
     """The jitted fleet step: (state_S, pool_S, hr_idx_S, crop_idx_S) ->
     (state_S, metrics_S). Every argument carries a leading scene axis.
@@ -115,8 +157,12 @@ def train_fleet(
     pools: one PatchPool per scene (HR patches, same [C, H, W] shape).
     cfg: shared hyper-parameters; scene s uses seed `cfg.seed + s` and
     writes artifacts under `cfg.outdir/<scene_names[s]>/`.
-    mesh: optional 1-axis mesh — the SCENE axis is sharded over it
-    (len(pools) must be a multiple of the mesh size; no collectives).
+    cfg.steps_per_call=K>1 fuses K steps per dispatch into one on-device
+    lax.scan with per-scene device-PRNG index sampling (identical to a
+    standalone `steps_per_call=K` run at seed+s); K=1 keeps the host-RNG
+    stream of a standalone K=1 run. mesh: optional 1-axis mesh — the
+    SCENE axis is sharded over it (len(pools) must be a multiple of the
+    mesh size; no collectives; composes with either K).
 
     Returns {"scene_names", "kernel_per_band" [S,C,kH,kW],
     "kernel_merged" [S,kH,kW], "state", "log_files"}.
@@ -124,10 +170,19 @@ def train_fleet(
     s_total = len(pools)
     if s_total == 0:
         raise ValueError("train_fleet needs at least one pool")
-    if cfg.steps_per_call != 1:
-        raise ValueError("fleet training runs K=1 steps per dispatch")
     if cfg.real_is_lr:
         raise ValueError("real_is_lr is not supported in fleet mode")
+    k_steps = cfg.steps_per_call
+    if k_steps > 1:
+        from .state import check_scan_intervals
+
+        check_scan_intervals(
+            cfg,
+            {"iters": cfg.iters, "log_every": cfg.log_every,
+             "kernel_log_every": cfg.kernel_log_every,
+             "ckpt_every": cfg.ckpt_every},
+            use_device_pool=True,  # the fleet pool is always HBM-resident
+        )
     names = list(scene_names) if scene_names else [
         f"scene_{s:03d}" for s in range(s_total)
     ]
@@ -148,6 +203,7 @@ def train_fleet(
                                      announce=cfg.verbose)
 
     pool_dev = jnp.asarray(stacked)
+    sizes_dev = jnp.asarray(np.asarray(sizes, np.int32))
     put = jnp.asarray
     if mesh is not None:
         axis = mesh.axis_names[0]
@@ -158,15 +214,20 @@ def train_fleet(
             )
         shard = NamedSharding(mesh, P(axis))
         pool_dev = jax.device_put(pool_dev, shard)
+        sizes_dev = jax.device_put(sizes_dev, shard)
         state = jax.device_put(state, shard)
         put = lambda a: jax.device_put(a, shard)  # noqa: E731
 
-    step_fn = make_fleet_step(cfg, mesh=mesh)
-    # per-scene host RNG streams identical to a standalone run at seed+s
-    host_rngs = [
-        np.random.default_rng(cfg.seed + s + start_iter)
-        for s in range(s_total)
-    ]
+    if k_steps > 1:
+        step_fn = make_fleet_chunk_step(cfg, mesh=mesh)
+        host_rngs = None
+    else:
+        step_fn = make_fleet_step(cfg, mesh=mesh)
+        # per-scene host RNG streams identical to a standalone run at seed+s
+        host_rngs = [
+            np.random.default_rng(cfg.seed + s + start_iter)
+            for s in range(s_total)
+        ]
     log_files = [os.path.join(d, "training_log.txt") for d in outdirs]
     if start_iter == 0:
         for f in log_files:
@@ -178,42 +239,60 @@ def train_fleet(
     def flush():
         if not log_rows:
             return
-        # one host sync per flush: materialize each buffered metric once
-        mats = [
-            (i0, {k: np.asarray(m[k]) for k in _LOG_KEYS})
-            for i0, m in log_rows
-        ]
+        # one host sync per flush: materialize each buffered metric once;
+        # leaves are [S] (K=1) or [S, K] (chunked) — normalize to [S, K]
+        mats = []
+        for i0, m in log_rows:
+            leaves = {}
+            for k in _LOG_KEYS:
+                a = np.asarray(m[k])
+                leaves[k] = a[:, None] if a.ndim == 1 else a
+            mats.append((i0, leaves))
         for s, f in enumerate(log_files):
             with open(f, "a", encoding="utf-8") as fh:
                 for i0, m in mats:
-                    fh.write(
-                        f"{i0},"
-                        + ",".join(f"{m[k][s]:.6f}" for k in _LOG_KEYS)
-                        + "\n"
-                    )
+                    for j in range(m[_LOG_KEYS[0]].shape[1]):
+                        fh.write(
+                            f"{i0 + j},"
+                            + ",".join(
+                                f"{m[k][s, j]:.6f}" for k in _LOG_KEYS
+                            )
+                            + "\n"
+                        )
         log_rows.clear()
 
-    iterator = range(start_iter, cfg.iters)
+    if k_steps > 1:
+        # t iterates over the LAST iteration index of each K-step chunk
+        iterator = range(start_iter + k_steps - 1, cfg.iters, k_steps)
+    else:
+        iterator = range(start_iter, cfg.iters)
     if progress:
         try:
             from tqdm import tqdm
 
-            iterator = tqdm(iterator, desc=f"Fleet[{s_total}]", unit="iter")
+            iterator = tqdm(iterator, desc=f"Fleet[{s_total}]",
+                            unit="chunk" if k_steps > 1 else "iter")
         except ImportError:
             pass
 
     metrics = None
     for t in iterator:
-        hr_l, crop_l = [], []
-        for s, r in enumerate(host_rngs):
-            hr_l.append(r.integers(0, sizes[s], size=cfg.batch_size))
-            crop_l.append(r.integers(0, sizes[s], size=cfg.batch_size))
-        state, metrics = step_fn(
-            state, pool_dev,
-            put(np.stack(hr_l).astype(np.int32)),
-            put(np.stack(crop_l).astype(np.int32)),
-        )
-        log_rows.append((t + 1, metrics))
+        if k_steps > 1:
+            state, ms = step_fn(state, pool_dev, sizes_dev)
+            log_rows.append((t + 2 - k_steps, ms))
+            # per-scene values at the chunk's LAST iteration
+            metrics = jax.tree_util.tree_map(lambda a: a[:, -1], ms)
+        else:
+            hr_l, crop_l = [], []
+            for s, r in enumerate(host_rngs):
+                hr_l.append(r.integers(0, sizes[s], size=cfg.batch_size))
+                crop_l.append(r.integers(0, sizes[s], size=cfg.batch_size))
+            state, metrics = step_fn(
+                state, pool_dev,
+                put(np.stack(hr_l).astype(np.int32)),
+                put(np.stack(crop_l).astype(np.int32)),
+            )
+            log_rows.append((t + 1, metrics))
 
         if (t + 1) % cfg.log_every == 0:
             flush()

@@ -126,13 +126,46 @@ def test_fleet_rejects_bad_args(rng, tmp_path):
     pools = [make_pool(rng)]
     with pytest.raises(ValueError):
         train_fleet([], tiny_cfg(tmp_path))
-    with pytest.raises(ValueError):
-        train_fleet(pools, tiny_cfg(tmp_path, steps_per_call=2))
+    with pytest.raises(ValueError):  # intervals must be K-multiples
+        train_fleet(pools, tiny_cfg(tmp_path, steps_per_call=3))
     with pytest.raises(ValueError):
         train_fleet(pools, tiny_cfg(tmp_path), scene_names=["a", "b"])
     with pytest.raises(ValueError):
         train_fleet(pools + pools, tiny_cfg(tmp_path),
                     scene_names=["a", "a"])
+
+
+@pytest.mark.slow
+def test_fleet_chunked_matches_standalone_chunked(rng, tmp_path):
+    """steps_per_call=K fleet == standalone steps_per_call=K runs at
+    seed base+s: same device-PRNG split order and randint draws inside
+    the scan body, so kernels AND the CSV loss stream are identical."""
+    pools = [make_pool(rng, n=6), make_pool(rng, n=9)]
+
+    fleet_out = train_fleet(
+        pools, tiny_cfg(tmp_path / "fleet", seed=7, steps_per_call=2),
+        scene_names=["a", "b"], progress=False,
+    )
+
+    for s, pool in enumerate(pools):
+        cfg = tiny_cfg(tmp_path / f"single_{s}", seed=7 + s,
+                       device_pool=True, steps_per_call=2)
+        single = train_single_kernel(pool, cfg, progress=False)
+        np.testing.assert_allclose(
+            fleet_out["kernel_per_band"][s], single["kernel_per_band"],
+            rtol=1e-5, atol=1e-7,
+        )
+        with open(fleet_out["log_files"][s], encoding="utf-8") as f:
+            fleet_log = f.read().splitlines()
+        with open(single["log_file"], encoding="utf-8") as f:
+            single_log = f.read().splitlines()
+        assert len(fleet_log) == len(single_log) == 5  # header + 4 iters
+        for lf, ls in zip(fleet_log[1:], single_log[1:]):
+            np.testing.assert_allclose(
+                [float(x) for x in lf.split(",")],
+                [float(x) for x in ls.split(",")],
+                rtol=1e-4, atol=1e-6,
+            )
 
 
 @pytest.mark.slow
