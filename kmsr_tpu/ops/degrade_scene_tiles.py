@@ -49,36 +49,41 @@ _SUBLANE = 8
 
 def scene_to_tiles_ext(x: jax.Array, factor: int, wt: int) -> jax.Array:
     """[C, H, W] -> [C, f, H/f, 2f + Wt, W/Wt] extended tile layout (see
-    module docstring). All pieces are transposes of slices of `x` whose
-    minor output dim is the tile count (>= LANE for full scenes), fused
-    by XLA into one output pass."""
+    module docstring).
+
+    Built as a chain of the measured copy-speed layout moves (NOTES_r2):
+    reshape + swap-last-two twice, then a mid permute — every
+    materializable intermediate keeps the minor dim at S or T (lane
+    sized). A single 6-D reshape+transpose spelling of the same map OOMs
+    at compile for full scenes: XLA materializes the reshape whose minor
+    dim is `factor`, lane-padding it 128/f-fold (21.5 GB at 8192^2).
+    The column halos are slices of the same intermediate, so the whole
+    transform is one fused chain with no strided gathers."""
     c, h, w = x.shape
     if h % factor or w % wt or wt % factor:
         raise ValueError(f"need H%f==0, W%Wt==0, Wt%f==0: {(h, w, wt, factor)}")
+    f = factor
     t, out_h, out_wt = w // wt, h // factor, wt // factor
-    xr = x.reshape(c, out_h, factor, t, out_wt, factor)
-    tiles = jnp.transpose(xr, (0, 2, 1, 5, 4, 3)).reshape(
-        c, factor, out_h, wt, t
-    )
+    # [C, H, S, f] -> swap -> [C, H, f(r), S]: column-residue split.
+    z = jnp.swapaxes(x.reshape(c, h, w // f, f), 2, 3)
+    # S -> (T, out_wt) -> swap -> [C, H, f(r), out_wt(j), T]: tiles to lanes.
+    z = jnp.swapaxes(z.reshape(c, h, f, t, out_wt), 3, 4)
+    # H -> (out_h, f(p)); p out front (mid permute, minor untouched):
+    # z[c, p, i, r, j, t] = x[c, f*i + p, t*Wt + f*j + r].
+    z = jnp.transpose(z.reshape(c, out_h, f, f, out_wt, t), (0, 2, 1, 3, 4, 5))
+    tiles = z.reshape(c, f, out_h, wt, t)
     rep_l = jnp.broadcast_to(
-        tiles[:, :, :, 0:1, 0:1], (c, factor, out_h, factor, 1)
+        tiles[:, :, :, 0:1, 0:1], (c, f, out_h, f, 1)
     )
     rep_r = jnp.broadcast_to(
-        tiles[:, :, :, wt - 1 : wt, t - 1 : t], (c, factor, out_h, factor, 1)
+        tiles[:, :, :, wt - 1 : wt, t - 1 : t], (c, f, out_h, f, 1)
     )
     if t > 1:
-        lcols = x[:, :, wt - factor : w - factor].reshape(
-            c, out_h, factor, t - 1, wt
-        )[:, :, :, :, :factor]
-        hl = jnp.concatenate(
-            [rep_l, jnp.transpose(lcols, (0, 2, 1, 4, 3))], axis=-1
-        )
-        rcols = x[:, :, wt:].reshape(c, out_h, factor, t - 1, wt)[
-            :, :, :, :, :factor
-        ]
-        hr = jnp.concatenate(
-            [jnp.transpose(rcols, (0, 2, 1, 4, 3)), rep_r], axis=-1
-        )
+        # hl[., r, ti] = scene col Wt*ti - f + r = z[..., r, out_wt-1, ti-1]
+        hl = jnp.concatenate([rep_l, z[:, :, :, :, out_wt - 1, : t - 1]],
+                             axis=-1)
+        # hr[., r, ti] = scene col Wt*(ti+1) + r = z[..., r, 0, ti+1]
+        hr = jnp.concatenate([z[:, :, :, :, 0, 1:], rep_r], axis=-1)
     else:
         hl, hr = rep_l, rep_r
     return jnp.concatenate([hl, tiles, hr], axis=3)
