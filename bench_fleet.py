@@ -20,7 +20,16 @@ Env: KMSR_FLEET_SCENES (default 8), KMSR_FLEET_POOL (patches per scene,
 default 32), KMSR_FLEET_ITERS (timed dispatches, default 30),
 KMSR_FLEET_K (steps_per_call: K>1 fuses K steps per dispatch into one
 on-device lax.scan, default 1), KMSR_FLEET_HR / KMSR_FLEET_BATCH
-(shrink the reference 256^2 / 16 schedule for smoke runs).
+(shrink the reference 256^2 / 16 schedule for smoke runs),
+KMSR_FLEET_FWD (generator forward mode, default "compose").
+
+Forward mode: the fleet defaults to the production "compose" forward
+(single depthwise conv with the composed 13x13 kernel — same linear map
+as the reference chain away from a 6px border rim, ~230x fewer FLOPs).
+The reference-exact "chain" forward stores [B, 5*mid, 256, 256] f32
+activations per layer for the G backward; at 8 scenes x batch 16 that
+is a measured 21.8 GB fusion — over the 16 GB v5e HBM — so chain-mode
+fleets need KMSR_FLEET_HR=128 or <=2 scenes at full scale.
 """
 from __future__ import annotations
 
@@ -65,16 +74,20 @@ def main() -> int:
         make_train_step,
     )
 
+    from kmsr_tpu.models.generator import GeneratorConfig
+
     s_total = int(os.environ.get("KMSR_FLEET_SCENES", "8"))
     n_pool = int(os.environ.get("KMSR_FLEET_POOL", "32"))
     iters = int(os.environ.get("KMSR_FLEET_ITERS", "30"))
     k_steps = int(os.environ.get("KMSR_FLEET_K", "1"))
     hr = int(os.environ.get("KMSR_FLEET_HR", "256"))
+    fwd = os.environ.get("KMSR_FLEET_FWD", "compose")
     cfg = SingleKernelConfig(  # reference schedule: batch 16, 256^2 HR
         hr_patch_size=hr,
         lr_crop_size=hr // 8,
         batch_size=int(os.environ.get("KMSR_FLEET_BATCH", "16")),
         steps_per_call=k_steps,
+        generator=GeneratorConfig(forward_mode=fwd),
     )
     rng = np.random.default_rng(0)
     import dataclasses
@@ -118,7 +131,8 @@ def main() -> int:
     scene_iters = s_total * k_steps / t_fleet
     speedup = s_total * t_single / t_fleet
     print(
-        f"# single-scene dispatch (K={k_steps}): {t_single * 1e3:.2f} ms"
+        f"# single-scene dispatch (K={k_steps}, fwd={fwd}):"
+        f" {t_single * 1e3:.2f} ms"
         f" | fleet[{s_total}] dispatch: {t_fleet * 1e3:.2f} ms"
         f" | {scene_iters:.1f} scene-iters/s"
         f" | {speedup:.2f}x vs serial",

@@ -313,13 +313,112 @@ def _degrade_noise_kernel_v3ps(x_ref, k_ref, n_ref, out_ref, **kw):
     out_ref[0] = out_ref[0] + n_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("factor",))
-def phase_split_chwb(x: jax.Array, factor: int = 8) -> jax.Array:
+def _degrade_kernel_v3psn(
+    x_ref, k_ref, out_ref, *,
+    factor: int, ksize: int, w: int, out_h: int, out_w: int,
+    edge_mode: str = "split",
+):
+    """HALO-FREE pre-split variant: x_ref[0] is [f, out_h, W, Bt] — the
+    v3ps layout minus the two baked replicate rows per phase, so the
+    input crosses HBM with EXACTLY the natural layout's byte count
+    (the baked rows cost +(2/out_h) bytes: +25% at 64^2/f=8, measured
+    to outweigh the permutation matmuls they replace — NOTES_r2).
+
+    Replicate row padding is reconstructed in-kernel: taps whose row
+    block q0 = -1/+1 over-reach the plane by exactly ONE row (the
+    clamped image row 0 / H-1, which lives at phase 0 / f-1). Two
+    spellings, A/B-able via `edge_mode`:
+      - 'split': the tap fma is split into the main rows plus a
+        single-row fma, each landing on a leading-dim accumulator
+        slice (`.at[off:off+n].add`) — no copies, two fmas;
+      - 'concat': one [out_h, W, Bt] concat per edge dy materializes
+        the halo row, then the tap runs unsplit (12 extra tile copies
+        per block at K=20).
+    Both preserve v3's per-element (dy, dx) accumulation order.
+    'concat' is bit-exact vs `degrade_pallas_chwb`; 'split' matches to
+    fma-contraction ULPs (~2e-21 rel: the compiler contracts mul+add
+    differently under the slice-update spelling — measured 3.3e-6 abs
+    on radiance-scale data, 5 orders under the 1e-3 parity budget)."""
+    bt = x_ref.shape[-1]
+    half = (ksize - factor) // 2
+    k_base = pl.program_id(0) * ksize * ksize
+    acc = jnp.zeros((out_h, out_w, bt), jnp.float32)
+    top_row = x_ref[0, 0, 0:1]                         # image row 0
+    bot_row = x_ref[0, factor - 1, out_h - 1 : out_h]  # image row H-1
+
+    def col_taps(acc, stacked, dy, row_off):
+        n = stacked.shape[0]
+        left = stacked[:, 0:1]
+        right = stacked[:, w - 1 : w]
+        for dx in range(ksize):
+            q, r = divmod(dx - half, factor)
+            kval = k_ref[0, k_base + dy * ksize + dx]
+            base = stacked[:, r * out_w : (r + 1) * out_w]
+            if q == 0:
+                shifted = base
+            elif q == -1:
+                shifted = jnp.concatenate([left, base[:, : out_w - 1]], axis=1)
+            elif q == 1:
+                shifted = jnp.concatenate([base[:, 1:], right], axis=1)
+            else:
+                raise NotImplementedError(
+                    f"kernel span {ksize} > 3*factor {factor}"
+                )
+            if n == out_h:
+                acc = acc + kval * shifted
+            else:
+                acc = acc.at[row_off : row_off + n].add(kval * shifted)
+        return acc
+
+    for dy in range(ksize):
+        q0, p = divmod(dy - half, factor)
+        plane = x_ref[0, p]  # [out_h, W, Bt]
+        if q0 == 0:
+            acc = col_taps(acc, plane, dy, 0)
+        elif q0 == -1:
+            if edge_mode == "concat":
+                acc = col_taps(
+                    acc,
+                    jnp.concatenate([top_row, plane[: out_h - 1]], axis=0),
+                    dy, 0,
+                )
+            else:
+                acc = col_taps(acc, top_row, dy, 0)
+                acc = col_taps(acc, plane[: out_h - 1], dy, 1)
+        elif q0 == 1:
+            if edge_mode == "concat":
+                acc = col_taps(
+                    acc, jnp.concatenate([plane[1:], bot_row], axis=0), dy, 0
+                )
+            else:
+                acc = col_taps(acc, plane[1:], dy, 0)
+                acc = col_taps(acc, bot_row, dy, out_h - 1)
+        else:
+            raise NotImplementedError(
+                f"kernel span {ksize} > 3*factor {factor}"
+            )
+    out_ref[0] = acc
+
+
+def _degrade_noise_kernel_v3psn(x_ref, k_ref, n_ref, out_ref, **kw):
+    _degrade_kernel_v3psn(x_ref, k_ref, out_ref, **kw)
+    out_ref[0] = out_ref[0] + n_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "halo"))
+def phase_split_chwb(x: jax.Array, factor: int = 8, halo: bool = True) -> jax.Array:
     """[C, H, W, B] -> the pre-split degrade layout
     [C, f, H/f + 2, W, B]: rows regrouped by row-phase p = y % f, columns
     permuted to v = (x % f)*(W/f) + x//f (each column phase contiguous),
     plus one replicate halo row per end (image rows 0 and H-1) so every
     stride-f tap of the composed stencil is a contiguous slice.
+
+    halo=False drops the baked halo rows -> [C, f, H/f, W, B]: the SAME
+    byte count as the natural CHWB layout (the baked rows cost
+    (H/f + 2)/(H/f) more input bytes — +25% at 64^2/f=8, the measured
+    reason the baked-halo presplit route LOST to natural v3). The
+    matching kernel (`_degrade_kernel_v3psn`) reconstructs the replicate
+    padding from clamped in-kernel rows instead.
 
     All moved dims are middle/sublane dims (the lane dim B is untouched),
     so XLA lowers this at copy speed (NOTES_r2: swap-last-two + mid
@@ -331,6 +430,8 @@ def phase_split_chwb(x: jax.Array, factor: int = 8) -> jax.Array:
     out_h, out_w = h // factor, w // factor
     xr = x.reshape(c, out_h, factor, out_w, factor, b)
     xp = jnp.transpose(xr, (0, 2, 1, 4, 3, 5)).reshape(c, factor, out_h, w, b)
+    if not halo:
+        return xp
     top = jnp.broadcast_to(xp[:, 0:1, 0:1], (c, factor, 1, w, b))
     bot = jnp.broadcast_to(
         xp[:, factor - 1 : factor, out_h - 1 : out_h], (c, factor, 1, w, b)
@@ -339,7 +440,9 @@ def phase_split_chwb(x: jax.Array, factor: int = 8) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("factor", "batch_tile", "interpret")
+    jax.jit,
+    static_argnames=("factor", "batch_tile", "interpret", "baked_halo",
+                     "edge_mode"),
 )
 def degrade_pallas_presplit(
     xp: jax.Array,
@@ -348,10 +451,16 @@ def degrade_pallas_presplit(
     factor: int = 8,
     batch_tile: int | None = None,
     interpret: bool = False,
+    baked_halo: bool = True,
+    edge_mode: str = "split",
 ) -> jax.Array:
     """Fused degrade on PRE-SPLIT factory data (see `phase_split_chwb`).
 
-    xp: [C, f, H/f + 2, W, B] phase-split with baked halo rows; kernel:
+    xp: [C, f, H/f + 2, W, B] phase-split with baked halo rows — or,
+    with baked_halo=False, [C, f, H/f, W, B] without them (the
+    `phase_split_chwb(halo=False)` layout: natural-layout byte count;
+    replicate padding reconstructed in-kernel by `_degrade_kernel_v3psn`
+    whose `edge_mode` picks the split-fma vs concat spelling). kernel:
     [C, kh, kw]; noise: optional [C, H/f, W/f, B]. Returns
     [C, H/f, W/f, B], identical to `degrade_pallas_chwb` on the
     un-split input (same composed stencil, same clamped-tap replicate
@@ -360,14 +469,16 @@ def degrade_pallas_presplit(
     This is the bandwidth-roof path: v3 spends its non-lattice cycles on
     the in-kernel column-permutation matmuls and scratch traffic; here
     the layout work happened upstream (native loader / one-time pool
-    split), so the kernel is the pure 400-tap VPU lattice. The halo rows
-    cost (f + 2)/f more input bytes at H=64/f=8 (+25%), still under the
-    HBM roof at the measured rates.
+    split), so the kernel is the pure 400-tap VPU lattice. Baked halo
+    rows cost (f + 2)/f more input bytes at H=64/f=8 (+25% — measured
+    to cost MORE than the permutation matmuls they save, which is why
+    baked_halo=False exists).
     """
     c, f, hrows, w, b = xp.shape
     if f != factor:
         raise ValueError(f"xp phase dim {f} != factor {factor}")
-    out_h, out_w = hrows - 2, w // factor
+    out_h = hrows - 2 if baked_halo else hrows
+    out_w = w // factor
     if w % factor:
         raise ValueError(f"W must be a multiple of factor: {(w, factor)}")
     if batch_tile is None:
@@ -404,7 +515,14 @@ def degrade_pallas_presplit(
         ),
     ]
     operands = [xp, comp.reshape(1, c * ksize * ksize)]
-    kern = _degrade_kernel_v3ps
+    if baked_halo:
+        kern = _degrade_kernel_v3ps
+        kern_noise = _degrade_noise_kernel_v3ps
+        kern_kw = {}
+    else:
+        kern = _degrade_kernel_v3psn
+        kern_noise = _degrade_noise_kernel_v3psn
+        kern_kw = {"edge_mode": edge_mode}
     if noise is not None:
         in_specs.append(
             pl.BlockSpec(
@@ -414,10 +532,11 @@ def degrade_pallas_presplit(
             )
         )
         operands.append(noise)
-        kern = _degrade_noise_kernel_v3ps
+        kern = kern_noise
     return pl.pallas_call(
         functools.partial(
             kern, factor=factor, ksize=ksize, w=w, out_h=out_h, out_w=out_w,
+            **kern_kw,
         ),
         grid=grid,
         in_specs=in_specs,

@@ -188,6 +188,41 @@ def test_presplit_matches_chwb(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_presplit_halo_free_matches_chwb(rng):
+    """baked_halo=False presplit layout (natural byte count, replicate
+    padding reconstructed in-kernel) ≡ natural-layout v3, for both the
+    split-fma and concat edge spellings, with and without fused noise.
+    'concat' is bit-exact; 'split' matches to fma-contraction ULPs
+    (the compiler contracts mul+add differently under the slice-update
+    spelling — see _degrade_kernel_v3psn)."""
+    from kmsr_tpu.ops.degrade_pallas import (
+        degrade_pallas_presplit,
+        phase_split_chwb,
+    )
+
+    x = jnp.asarray(rng.normal(5, 2, size=(2, 32, 32, 8)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(2, 13, 13)).astype(np.float32))
+    noise = jnp.asarray(rng.normal(0, 0.1, size=(2, 4, 4, 8)).astype(np.float32))
+    xp = phase_split_chwb(x, factor=8, halo=False)
+    assert xp.shape == (2, 8, 32 // 8, 32, 8)
+    for noise_arg in (None, noise):
+        want = np.asarray(
+            degrade_pallas_chwb(x, kernel, noise=noise_arg, factor=8,
+                                batch_tile=8, interpret=True)
+        )
+        for edge_mode in ("split", "concat"):
+            got = np.asarray(
+                degrade_pallas_presplit(
+                    xp, kernel, noise=noise_arg, factor=8, batch_tile=8,
+                    interpret=True, baked_halo=False, edge_mode=edge_mode,
+                )
+            )
+            if edge_mode == "concat":
+                np.testing.assert_array_equal(got, want)
+            else:
+                np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_presplit_matches_native_loader_layout(rng, tmp_path):
     """The C++ loader's split gather feeds degrade_pallas_presplit
     directly: end-to-end .npy files -> native split batch -> kernel
