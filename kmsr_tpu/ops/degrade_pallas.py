@@ -316,7 +316,6 @@ def _degrade_noise_kernel_v3ps(x_ref, k_ref, n_ref, out_ref, **kw):
 def _degrade_kernel_v3psn(
     x_ref, k_ref, out_ref, *,
     factor: int, ksize: int, w: int, out_h: int, out_w: int,
-    edge_mode: str = "split",
 ):
     """HALO-FREE pre-split variant: x_ref[0] is [f, out_h, W, Bt] — the
     v3ps layout minus the two baked replicate rows per phase, so the
@@ -326,19 +325,16 @@ def _degrade_kernel_v3psn(
 
     Replicate row padding is reconstructed in-kernel: taps whose row
     block q0 = -1/+1 over-reach the plane by exactly ONE row (the
-    clamped image row 0 / H-1, which lives at phase 0 / f-1). Two
-    spellings, A/B-able via `edge_mode`:
-      - 'split': the tap fma is split into the main rows plus a
-        single-row fma, each landing on a leading-dim accumulator
-        slice (`.at[off:off+n].add`) — no copies, two fmas;
-      - 'concat': one [out_h, W, Bt] concat per edge dy materializes
-        the halo row, then the tap runs unsplit (12 extra tile copies
-        per block at K=20).
-    Both preserve v3's per-element (dy, dx) accumulation order.
-    'concat' is bit-exact vs `degrade_pallas_chwb`; 'split' matches to
-    fma-contraction ULPs (~2e-21 rel: the compiler contracts mul+add
-    differently under the slice-update spelling — measured 3.3e-6 abs
-    on radiance-scale data, 5 orders under the 1e-3 parity budget)."""
+    clamped image row 0 / H-1, which lives at phase 0 / f-1). Each such
+    edge dy materializes its halo row with one leading-dim concat
+    ([1|out_h-1] rows), then the tap runs unsplit — ~1 tile copy per
+    edge dy vs the 400-tap fma lattice (~1% overhead), and bit-exact vs
+    `degrade_pallas_chwb` (same per-element (dy, dx) accumulation
+    order). A slice-update spelling that avoids the concats was tried
+    and REJECTED: Mosaic has no TPU lowering for scatter-add
+    (`.at[o:o+n].add`) nor for value-domain `lax.dynamic_slice`, and a
+    segmented-accumulator spelling buys at most the ~1% copy cost back
+    at 3x the tap instruction count."""
     bt = x_ref.shape[-1]
     half = (ksize - factor) // 2
     k_base = pl.program_id(0) * ksize * ksize
@@ -346,8 +342,7 @@ def _degrade_kernel_v3psn(
     top_row = x_ref[0, 0, 0:1]                         # image row 0
     bot_row = x_ref[0, factor - 1, out_h - 1 : out_h]  # image row H-1
 
-    def col_taps(acc, stacked, dy, row_off):
-        n = stacked.shape[0]
+    def col_taps(acc, stacked, dy):
         left = stacked[:, 0:1]
         right = stacked[:, w - 1 : w]
         for dx in range(ksize):
@@ -364,39 +359,23 @@ def _degrade_kernel_v3psn(
                 raise NotImplementedError(
                     f"kernel span {ksize} > 3*factor {factor}"
                 )
-            if n == out_h:
-                acc = acc + kval * shifted
-            else:
-                acc = acc.at[row_off : row_off + n].add(kval * shifted)
+            acc = acc + kval * shifted
         return acc
 
     for dy in range(ksize):
         q0, p = divmod(dy - half, factor)
         plane = x_ref[0, p]  # [out_h, W, Bt]
         if q0 == 0:
-            acc = col_taps(acc, plane, dy, 0)
+            rows = plane
         elif q0 == -1:
-            if edge_mode == "concat":
-                acc = col_taps(
-                    acc,
-                    jnp.concatenate([top_row, plane[: out_h - 1]], axis=0),
-                    dy, 0,
-                )
-            else:
-                acc = col_taps(acc, top_row, dy, 0)
-                acc = col_taps(acc, plane[: out_h - 1], dy, 1)
+            rows = jnp.concatenate([top_row, plane[: out_h - 1]], axis=0)
         elif q0 == 1:
-            if edge_mode == "concat":
-                acc = col_taps(
-                    acc, jnp.concatenate([plane[1:], bot_row], axis=0), dy, 0
-                )
-            else:
-                acc = col_taps(acc, plane[1:], dy, 0)
-                acc = col_taps(acc, bot_row, dy, out_h - 1)
+            rows = jnp.concatenate([plane[1:], bot_row], axis=0)
         else:
             raise NotImplementedError(
                 f"kernel span {ksize} > 3*factor {factor}"
             )
+        acc = col_taps(acc, rows, dy)
     out_ref[0] = acc
 
 
@@ -441,8 +420,7 @@ def phase_split_chwb(x: jax.Array, factor: int = 8, halo: bool = True) -> jax.Ar
 
 @functools.partial(
     jax.jit,
-    static_argnames=("factor", "batch_tile", "interpret", "baked_halo",
-                     "edge_mode"),
+    static_argnames=("factor", "batch_tile", "interpret", "baked_halo"),
 )
 def degrade_pallas_presplit(
     xp: jax.Array,
@@ -452,15 +430,14 @@ def degrade_pallas_presplit(
     batch_tile: int | None = None,
     interpret: bool = False,
     baked_halo: bool = True,
-    edge_mode: str = "split",
 ) -> jax.Array:
     """Fused degrade on PRE-SPLIT factory data (see `phase_split_chwb`).
 
     xp: [C, f, H/f + 2, W, B] phase-split with baked halo rows — or,
     with baked_halo=False, [C, f, H/f, W, B] without them (the
     `phase_split_chwb(halo=False)` layout: natural-layout byte count;
-    replicate padding reconstructed in-kernel by `_degrade_kernel_v3psn`
-    whose `edge_mode` picks the split-fma vs concat spelling). kernel:
+    replicate padding reconstructed in-kernel by
+    `_degrade_kernel_v3psn`). kernel:
     [C, kh, kw]; noise: optional [C, H/f, W/f, B]. Returns
     [C, H/f, W/f, B], identical to `degrade_pallas_chwb` on the
     un-split input (same composed stencil, same clamped-tap replicate
@@ -518,11 +495,9 @@ def degrade_pallas_presplit(
     if baked_halo:
         kern = _degrade_kernel_v3ps
         kern_noise = _degrade_noise_kernel_v3ps
-        kern_kw = {}
     else:
         kern = _degrade_kernel_v3psn
         kern_noise = _degrade_noise_kernel_v3psn
-        kern_kw = {"edge_mode": edge_mode}
     if noise is not None:
         in_specs.append(
             pl.BlockSpec(
@@ -536,7 +511,6 @@ def degrade_pallas_presplit(
     return pl.pallas_call(
         functools.partial(
             kern, factor=factor, ksize=ksize, w=w, out_h=out_h, out_w=out_w,
-            **kern_kw,
         ),
         grid=grid,
         in_specs=in_specs,

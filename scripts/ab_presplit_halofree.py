@@ -1,12 +1,12 @@
 """Interleaved A/B: natural v3 vs pre-split variants (baked-halo vs
-halo-free split/concat edge modes).
+halo-free).
 
 The baked-halo presplit lost to natural v3 on chip (3.93 vs 4.36M,
 NOTES_r2): its +25% input bytes at 64^2/f=8 cost more than the three
 permutation matmuls it saves. The halo-free layout crosses HBM with
 EXACTLY the natural byte count while still skipping the permutation
 matmuls and scratch — this A/B decides whether in-kernel replicate-row
-reconstruction (split-fma vs concat spelling) keeps that win.
+reconstruction (one concat per edge dy) keeps that win.
 
 Interleaves all variants in one process (tunnel throughput drifts ~15%
 across hours — only same-process interleaved A/Bs are trustworthy,
@@ -42,12 +42,9 @@ def main() -> None:
             jax.jit(lambda a, k: degrade_pallas_chwb(a, k, factor=8)), x),
         "presplit_baked": (
             jax.jit(lambda a, k: degrade_pallas_presplit(a, k, factor=8)), xp),
-        "halofree_split": (
+        "halofree": (
             jax.jit(lambda a, k: degrade_pallas_presplit(
-                a, k, factor=8, baked_halo=False, edge_mode="split")), xn),
-        "halofree_concat": (
-            jax.jit(lambda a, k: degrade_pallas_presplit(
-                a, k, factor=8, baked_halo=False, edge_mode="concat")), xn),
+                a, k, factor=8, baked_halo=False)), xn),
     }
 
     def drain(o):

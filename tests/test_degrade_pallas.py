@@ -190,11 +190,8 @@ def test_presplit_matches_chwb(rng):
 
 def test_presplit_halo_free_matches_chwb(rng):
     """baked_halo=False presplit layout (natural byte count, replicate
-    padding reconstructed in-kernel) ≡ natural-layout v3, for both the
-    split-fma and concat edge spellings, with and without fused noise.
-    'concat' is bit-exact; 'split' matches to fma-contraction ULPs
-    (the compiler contracts mul+add differently under the slice-update
-    spelling — see _degrade_kernel_v3psn)."""
+    padding reconstructed in-kernel via per-edge-dy concats) is
+    BIT-exact vs natural-layout v3, with and without fused noise."""
     from kmsr_tpu.ops.degrade_pallas import (
         degrade_pallas_presplit,
         phase_split_chwb,
@@ -210,17 +207,13 @@ def test_presplit_halo_free_matches_chwb(rng):
             degrade_pallas_chwb(x, kernel, noise=noise_arg, factor=8,
                                 batch_tile=8, interpret=True)
         )
-        for edge_mode in ("split", "concat"):
-            got = np.asarray(
-                degrade_pallas_presplit(
-                    xp, kernel, noise=noise_arg, factor=8, batch_tile=8,
-                    interpret=True, baked_halo=False, edge_mode=edge_mode,
-                )
+        got = np.asarray(
+            degrade_pallas_presplit(
+                xp, kernel, noise=noise_arg, factor=8, batch_tile=8,
+                interpret=True, baked_halo=False,
             )
-            if edge_mode == "concat":
-                np.testing.assert_array_equal(got, want)
-            else:
-                np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        )
+        np.testing.assert_array_equal(got, want)
 
 
 def test_presplit_matches_native_loader_layout(rng, tmp_path):
