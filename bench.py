@@ -47,8 +47,11 @@ def main() -> int:
             rng.normal(5.0, 2.0, (5, 64, 64, batch)).astype(np.float32)
         )
         if mode == "presplit":
-            x = jax.jit(lambda a: phase_split_chwb(a, 8))(x)
-            fn = jax.jit(lambda a, k: degrade_pallas_presplit(a, k, factor=8))
+            # halo-free layout: natural byte count, measured faster than
+            # both the baked-halo presplit and natural v3 on chip
+            x = jax.jit(lambda a: phase_split_chwb(a, 8, halo=False))(x)
+            fn = jax.jit(lambda a, k: degrade_pallas_presplit(
+                a, k, factor=8, baked_halo=False))
         else:
             # pad-free fused Mosaic kernel on the factory CHWB layout
             # (batch in lanes) — ~4.8M patches/s on one v5e

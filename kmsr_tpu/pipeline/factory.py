@@ -98,12 +98,14 @@ def load_moe_for_factory(moe_path: str):
 def _npy_split_batches(files, batch_size, shape, factor):
     """Yield (paths, presplit_batch, natural_batch, fails) per chunk via
     the native loader's DUAL split gather — one file read per patch fills
-    both the [C, f, H/f+2, W, B] device layout
-    (`degrade_pallas_presplit`'s input; the layout work costs the host
-    nothing extra, it is just a write order) and the natural [B, C, H, W]
-    batch (the hr group to be written) — with double-buffered prefetch.
-    Falls back to numpy load + host transpose (per-file isolation) when
-    no toolchain is available or the loader errors."""
+    both the HALO-FREE [C, f, H/f, W, B] device layout
+    (`degrade_pallas_presplit(baked_halo=False)`'s input: natural byte
+    count, measured faster on chip than the baked-halo variant; the
+    layout work costs the host nothing extra, it is just a write order)
+    and the natural [B, C, H, W] batch (the hr group to be written) —
+    with double-buffered prefetch. Falls back to numpy load + host
+    transpose (per-file isolation) when no toolchain is available or the
+    loader errors."""
     c, h, w = shape
     idx_chunks = [
         np.arange(i, min(i + batch_size, len(files)), dtype=np.int64)
@@ -138,16 +140,13 @@ def _npy_split_batches(files, batch_size, shape, factor):
         xp = np.transpose(xr, (0, 2, 1, 4, 3, 5)).reshape(
             c, factor, oh, w, len(good)
         )
-        top = np.broadcast_to(xp[:, 0:1, 0:1], (c, factor, 1, w, len(good)))
-        bot = np.broadcast_to(
-            xp[:, factor - 1 :, oh - 1 : oh], (c, factor, 1, w, len(good))
-        )
-        return good, np.concatenate([top, xp, bot], axis=2), nat, fails
+        return good, xp, nat, fails
 
     def enqueue(k):
         nonlocal loader
         try:
-            loader.prefetch_split_dual(idx_chunks[k], factor=factor)
+            loader.prefetch_split_dual(idx_chunks[k], factor=factor,
+                                       halo=False)
         except Exception:
             loader.close()  # loader unusable: numpy path from here on
             loader = None
@@ -330,7 +329,8 @@ def run_factory(
             mesh = Mesh(np.array(devs), ("data",))
             degrade_fn = shard_map(
                 lambda a, k, noise: degrade_pallas_presplit(
-                    a, k, noise=noise, factor=factor, interpret=interp
+                    a, k, noise=noise, factor=factor, interpret=interp,
+                    baked_halo=False,
                 ),
                 mesh=mesh,
                 in_specs=(
@@ -375,7 +375,7 @@ def run_factory(
             else:
                 lr_dev = degrade_pallas_presplit(
                     jnp.asarray(xp), kernel, noise=jnp.asarray(noise),
-                    factor=factor, interpret=interp,
+                    factor=factor, interpret=interp, baked_halo=False,
                 )
             lr_batch = np.transpose(np.asarray(lr_dev), (3, 0, 1, 2))[:b]
             for path, hr, lr in zip(paths, nat, lr_batch):

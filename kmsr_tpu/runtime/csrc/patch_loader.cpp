@@ -78,16 +78,19 @@ bool parse_npy_header(const std::string& path, uint64_t expect_floats,
 }
 
 // Pre-split output layout parameters (factor > 0 selects split mode).
-// The gathered batch is written as [C, f, H/f + 2, W, B] — the layout
-// `ops.degrade_pallas.degrade_pallas_presplit` consumes directly: rows
-// regrouped by row-phase p = y % f, columns permuted to
-// v = (x % f)*(W/f) + x//f, one replicate halo row (image rows 0 / H-1)
-// at each end of the row axis, batch in the minor (lane) dimension.
-// Assembling this order costs the host nothing extra: a CHWB batch
-// buffer is a scatter per patch either way, this is just a different
-// write order.
+// The gathered batch is written as [C, f, H/f + 2*halo, W, B] — the
+// layout `ops.degrade_pallas.degrade_pallas_presplit` consumes
+// directly: rows regrouped by row-phase p = y % f, columns permuted to
+// v = (x % f)*(W/f) + x//f, batch in the minor (lane) dimension.
+// halo=1 bakes one replicate halo row (image rows 0 / H-1) at each end
+// of the row axis; halo=0 omits them (the `baked_halo=False` kernel
+// reconstructs the replicate padding in-kernel — measured faster on
+// chip: the baked rows cost +2/(H/f) input bytes per pass, which
+// outweighs the reconstruction concats). Assembling either order costs
+// the host nothing extra: a CHWB batch buffer is a scatter per patch
+// either way, this is just a different write order.
 struct SplitSpec {
-  int c = 0, h = 0, w = 0, factor = 0;
+  int c = 0, h = 0, w = 0, factor = 0, halo = 1;
   // When set, the natural [B, C, H, W] batch is ALSO written here from
   // the same staging read — one file read fills both layouts (the
   // factory needs the natural patch to write the hr group).
@@ -127,25 +130,29 @@ struct Loader {
   }
 
   // Scatter one [C, H, W] patch (in `src`) into batch column `i` of the
-  // pre-split [C, f, H/f + 2, W, B] buffer `out`.
+  // pre-split [C, f, H/f + 2*halo, W, B] buffer `out`.
   static void scatter_split(const float* src, float* out, int i, int n,
                             const SplitSpec& s) {
     const int out_h = s.h / s.factor;
     const int out_w = s.w / s.factor;
+    const int rows = out_h + 2 * s.halo;
     const uint64_t row_floats = (uint64_t)s.w * n;
+    const int y_lo = s.halo ? -1 : 0;
+    const int y_hi = s.halo ? s.h : s.h - 1;
     for (int ci = 0; ci < s.c; ++ci) {
       const float* plane = src + (uint64_t)ci * s.h * s.w;
-      float* oc = out + (uint64_t)ci * s.factor * (out_h + 2) * row_floats;
-      for (int y = -1; y <= s.h; ++y) {
+      float* oc = out + (uint64_t)ci * s.factor * rows * row_floats;
+      for (int y = y_lo; y <= y_hi; ++y) {
         // y == -1 / y == h are the replicate halo rows; they duplicate
         // image rows 0 / h-1 into row slot 0 / out_h+1 of EVERY phase.
         const int ysrc = y < 0 ? 0 : (y >= s.h ? s.h - 1 : y);
         const float* row = plane + (uint64_t)ysrc * s.w;
         const int p_lo = (y < 0 || y >= s.h) ? 0 : y % s.factor;
         const int p_hi = (y < 0 || y >= s.h) ? s.factor - 1 : p_lo;
-        const int slot = y < 0 ? 0 : (y >= s.h ? out_h + 1 : 1 + y / s.factor);
+        const int slot =
+            y < 0 ? 0 : (y >= s.h ? out_h + 1 : s.halo + y / s.factor);
         for (int p = p_lo; p <= p_hi; ++p) {
-          float* orow = oc + ((uint64_t)p * (out_h + 2) + slot) * row_floats;
+          float* orow = oc + ((uint64_t)p * rows + slot) * row_floats;
           for (int dxi = 0; dxi < s.factor; ++dxi) {
             const float* sx = row + dxi;                     // stride f
             float* ox = orow + (uint64_t)dxi * out_w * n + i;  // stride n
@@ -223,23 +230,24 @@ int kmsr_loader_gather(void* handle, const int64_t* indices, int n, float* out) 
   return ld->gather(indices, n, out, SplitSpec{}) ? 0 : 1;
 }
 
-// Gather straight into the pre-split degrade layout [C, f, H/f+2, W, n]
-// (see SplitSpec above); patches must be [c, h, w] with c*h*w matching
-// the loader's patch_floats.
+// Gather straight into the pre-split degrade layout
+// [C, f, H/f + 2*halo, W, n] (see SplitSpec above); patches must be
+// [c, h, w] with c*h*w matching the loader's patch_floats.
 int kmsr_loader_gather_split(void* handle, const int64_t* indices, int n,
-                             int c, int h, int w, int factor, float* out) {
+                             int c, int h, int w, int factor, int halo,
+                             float* out) {
   auto* ld = static_cast<Loader*>(handle);
-  return ld->gather(indices, n, out, SplitSpec{c, h, w, factor}) ? 0 : 1;
+  return ld->gather(indices, n, out, SplitSpec{c, h, w, factor, halo}) ? 0 : 1;
 }
 
 // Dual gather: one file read fills BOTH the pre-split layout (`out`) and
 // the natural [n, C, H, W] batch (`natural_out`).
 int kmsr_loader_gather_split_dual(void* handle, const int64_t* indices,
                                   int n, int c, int h, int w, int factor,
-                                  float* out, float* natural_out) {
+                                  int halo, float* out, float* natural_out) {
   auto* ld = static_cast<Loader*>(handle);
   return ld->gather(indices, n, out,
-                    SplitSpec{c, h, w, factor, natural_out}) ? 0 : 1;
+                    SplitSpec{c, h, w, factor, halo, natural_out}) ? 0 : 1;
 }
 
 namespace {
@@ -276,16 +284,17 @@ int kmsr_loader_prefetch(void* handle, const int64_t* indices, int n, float* out
 }
 
 int kmsr_loader_prefetch_split(void* handle, const int64_t* indices, int n,
-                               int c, int h, int w, int factor, float* out) {
+                               int c, int h, int w, int factor, int halo,
+                               float* out) {
   return start_prefetch(static_cast<Loader*>(handle), indices, n, out,
-                        SplitSpec{c, h, w, factor});
+                        SplitSpec{c, h, w, factor, halo});
 }
 
 int kmsr_loader_prefetch_split_dual(void* handle, const int64_t* indices,
                                     int n, int c, int h, int w, int factor,
-                                    float* out, float* natural_out) {
+                                    int halo, float* out, float* natural_out) {
   return start_prefetch(static_cast<Loader*>(handle), indices, n, out,
-                        SplitSpec{c, h, w, factor, natural_out});
+                        SplitSpec{c, h, w, factor, halo, natural_out});
 }
 
 int kmsr_loader_wait(void* handle) {

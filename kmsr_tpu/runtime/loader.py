@@ -66,7 +66,7 @@ def _get_lib() -> ctypes.CDLL:
             split_args = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ]
             lib.kmsr_loader_gather_split.restype = ctypes.c_int
             lib.kmsr_loader_gather_split.argtypes = split_args
@@ -150,47 +150,55 @@ class NativePatchLoader:
             raise ValueError(f"H, W must be multiples of factor: {(h, w, factor)}")
         return c, h, w
 
-    def gather_split(self, indices: np.ndarray, factor: int = 8) -> np.ndarray:
+    def gather_split(
+        self, indices: np.ndarray, factor: int = 8, halo: bool = True
+    ) -> np.ndarray:
         """Gather straight into the pre-split degrade layout
-        [C, f, H/f + 2, W, B] consumed by
+        [C, f, H/f + 2*halo, W, B] consumed by
         `ops.degrade_pallas.degrade_pallas_presplit` (column phases
-        contiguous, replicate halo rows baked, batch in lanes). Costs the
-        host the same work as a CHWB assembly — only the write order
-        differs — and saves the device the in-kernel permutation."""
+        contiguous, batch in lanes; halo=True bakes the replicate halo
+        rows, halo=False is the `baked_halo=False` kernel's layout —
+        natural byte count, measured faster on chip). Costs the host the
+        same work as a CHWB assembly — only the write order differs —
+        and saves the device the in-kernel permutation."""
         c, h, w = self._split_dims(factor)
         indices = np.ascontiguousarray(indices, dtype=np.int64)
         out = np.empty(
-            (c, factor, h // factor + 2, w, len(indices)), np.float32
+            (c, factor, h // factor + 2 * halo, w, len(indices)), np.float32
         )
         rc = self._lib.kmsr_loader_gather_split(
             self._handle,
             indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(indices), c, h, w, factor,
+            len(indices), c, h, w, factor, int(halo),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         if rc != 0:
             raise IOError(f"native split gather failed: {self._err()}")
         return out
 
-    def prefetch_split(self, indices: np.ndarray, factor: int = 8) -> None:
+    def prefetch_split(
+        self, indices: np.ndarray, factor: int = 8, halo: bool = True
+    ) -> None:
         if self._pending is not None:
             raise RuntimeError("a prefetch is already in flight")
         c, h, w = self._split_dims(factor)
         indices = np.ascontiguousarray(indices, dtype=np.int64)
         out = np.empty(
-            (c, factor, h // factor + 2, w, len(indices)), np.float32
+            (c, factor, h // factor + 2 * halo, w, len(indices)), np.float32
         )
         rc = self._lib.kmsr_loader_prefetch_split(
             self._handle,
             indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(indices), c, h, w, factor,
+            len(indices), c, h, w, factor, int(halo),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         if rc != 0:
             raise IOError(f"native split prefetch failed (rc={rc}): {self._err()}")
         self._pending = (indices, out)
 
-    def prefetch_split_dual(self, indices: np.ndarray, factor: int = 8) -> None:
+    def prefetch_split_dual(
+        self, indices: np.ndarray, factor: int = 8, halo: bool = True
+    ) -> None:
         """Async dual gather: ONE file read per patch fills both the
         pre-split device layout and the natural [B, C, H, W] batch.
         `wait()` returns (split, natural)."""
@@ -199,13 +207,13 @@ class NativePatchLoader:
         c, h, w = self._split_dims(factor)
         indices = np.ascontiguousarray(indices, dtype=np.int64)
         out = np.empty(
-            (c, factor, h // factor + 2, w, len(indices)), np.float32
+            (c, factor, h // factor + 2 * halo, w, len(indices)), np.float32
         )
         nat = np.empty((len(indices), c, h, w), np.float32)
         rc = self._lib.kmsr_loader_prefetch_split_dual(
             self._handle,
             indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(indices), c, h, w, factor,
+            len(indices), c, h, w, factor, int(halo),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             nat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )

@@ -238,17 +238,23 @@ def test_presplit_matches_native_loader_layout(rng, tmp_path):
         pytest.skip(f"no native toolchain: {e}")
     idx = np.array([1, 3, 0, 2], np.int64)
     xp = jnp.asarray(loader.gather_split(idx, factor=4))
+    xn = jnp.asarray(loader.gather_split(idx, factor=4, halo=False))
     loader.close()
     kernel = jnp.asarray(rng.uniform(0, 1, size=(2, 7, 7)).astype(np.float32))
+    img = jnp.asarray(np.stack([arrays[i] for i in idx]))  # [B, C, H, W]
+    want = np.transpose(np.asarray(degrade(img, kernel, factor=4)),
+                        (1, 2, 3, 0))
     got = np.asarray(
         degrade_pallas_presplit(xp, kernel, factor=4, batch_tile=4,
                                 interpret=True)
     )
-    img = jnp.asarray(np.stack([arrays[i] for i in idx]))  # [B, C, H, W]
-    want = np.asarray(degrade(img, kernel, factor=4))
-    np.testing.assert_allclose(
-        got, np.transpose(want, (1, 2, 3, 0)), rtol=1e-4, atol=1e-5
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # halo-free loader layout (the factory npy production route)
+    got_n = np.asarray(
+        degrade_pallas_presplit(xn, kernel, factor=4, batch_tile=4,
+                                interpret=True, baked_halo=False)
     )
+    np.testing.assert_allclose(got_n, want, rtol=1e-4, atol=1e-5)
 
 
 def test_presplit_bf16_storage(rng):

@@ -91,6 +91,26 @@ def test_gather_split_layout(npy_dir):
     loader.close()
 
 
+def test_gather_split_halo_free(npy_dir):
+    """halo=False drops the baked replicate rows: [C, f, H/f, W, B] ==
+    the interior of the baked layout, byte count equal to the natural
+    batch (the production `factory --input-format npy` layout)."""
+    loader = make_loader(npy_dir)
+    idx = np.array([4, 1, 8], np.int64)
+    f = 4
+    baked = loader.gather_split(idx, factor=f)
+    free = loader.gather_split(idx, factor=f, halo=False)
+    assert free.shape == (5, f, 16 // f, 16, len(idx))
+    np.testing.assert_array_equal(free, baked[:, :, 1:-1])
+    loader.prefetch_split(idx, factor=f, halo=False)
+    np.testing.assert_array_equal(loader.wait(), free)
+    loader.prefetch_split_dual(idx, factor=f, halo=False)
+    split, nat = loader.wait()
+    np.testing.assert_array_equal(split, free)
+    np.testing.assert_array_equal(nat, loader.gather(idx))
+    loader.close()
+
+
 def test_gather_split_rejects_bad_factor(npy_dir):
     loader = make_loader(npy_dir)
     with pytest.raises(ValueError):
