@@ -167,17 +167,20 @@ def scene_prefix(path: str) -> str:
     """Originating scene name of a patch-stage file path.
 
     Strips known stage tags from the end of the stem, then the cutter's
-    trailing `_<gi:03d>_<gj:03d>` grid indices (both zero-padded to >= 3
-    digits — a scene name's own short numeric tail like `_2021_01`
-    survives). A stem with no grid indices (not produced by the cutter)
-    is returned tag-stripped, whole.
+    trailing `_<gi:03d>_<gj:03d>` grid indices (3 digits each, 4 only if
+    a grid index exceeds 999 — patch grids never reach 10,000 rows).
+    Longer numeric tails are NOT grid indices and survive: a scene name's
+    own `_2021_01` (too short) or a Landsat `_115035_20210317`
+    pathrow+date tail (too long) stays part of the scene. A stem with no
+    grid indices (not produced by the cutter) is returned tag-stripped,
+    whole.
     """
     global _STAGE_TAGS_RE, _GRID_RE
     import re
 
     if _STAGE_TAGS_RE is None:
         _STAGE_TAGS_RE = re.compile(r"(_denoised|_blurred|_train)+$")
-        _GRID_RE = re.compile(r"_\d{3,}_\d{3,}$")
+        _GRID_RE = re.compile(r"_\d{3,4}_\d{3,4}$")
     stem = os.path.splitext(os.path.basename(path))[0]
     stem = _STAGE_TAGS_RE.sub("", stem)
     return _GRID_RE.sub("", stem)

@@ -136,8 +136,8 @@ def route_per_scene_kernels(
 
     Groups `files` by originating scene (`data.patches.scene_prefix`),
     probes `<kernel_root>/<scene>/kernel_per_band.npy`, and calls
-    `run_scene(kernel_path, scene_files) -> RunReport` per scene with a
-    kernel; a scene whose kernel artifact is missing fails as a unit
+    `run_scene(scene, kernel_path, scene_files) -> RunReport` per scene
+    with a kernel; a scene whose kernel artifact is missing fails as a unit
     (per-file accounting, reference failure-isolation contract), the
     rest proceed. Used by both the fused factory and apply_kernel.
     """

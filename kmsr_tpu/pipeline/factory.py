@@ -13,7 +13,7 @@ drop-in reference-contract compatibility; this is the fast path.
 Usage:
     python -m kmsr_tpu.pipeline.factory --input-dir DENOISED \
         --kernel kernel_per_band.npy --noise-pool pool.npy \
-        --output-dir TRAIN [--factor 8] [--batch-size 64] [--seed 42] \
+        --output-dir TRAIN [--factor 8] [--batch-size 128] [--seed 42] \
         [--backend pallas|xla]
 """
 from __future__ import annotations
@@ -188,7 +188,9 @@ def run_factory(
     output_dir: str,
     factor: int = 8,
     in_group: str = GROUP_DENOISED,
-    batch_size: int = 64,
+    batch_size: int = 128,  # LANE multiple: the Pallas routes pad each
+    # chunk's batch axis to 128 lanes — a 64 default would run every
+    # Mosaic dispatch on 50% zero lanes
     seed: int = 42,
     backend: str = "auto",
     progress: bool = True,
@@ -302,15 +304,27 @@ def run_factory(
 
     ok, fail = [], []
 
-    if (input_format == "npy" and moe_path is None and backend == "pallas"
-            # presplit kernel needs composed span (kh + f - 1) <= 3f
-            and kernel.shape[-1] + factor - 1 <= 3 * factor):
+    use_presplit = (
+        input_format == "npy" and moe_path is None and backend == "pallas"
+        # presplit kernel needs composed span (kh + f - 1) <= 3f
+        and kernel.shape[-1] + factor - 1 <= 3 * factor
+        and bool(files)
+    )
+    shape = None
+    if use_presplit:
+        try:
+            shape = tuple(np.load(files[0], mmap_mode="r").shape)
+        except Exception:
+            # unreadable probe file: fall through to the generic route,
+            # whose chunked_reader isolates it per file instead of
+            # aborting the whole run
+            use_presplit = False
+    if use_presplit:
         # streaming presplit route: native split gather feeds the
         # permutation-free kernel; see the docstring
         from ..ops.degrade_pallas import LANE, degrade_pallas_presplit
 
         interp = jax.default_backend() != "tpu"
-        shape = tuple(np.load(files[0], mmap_mode="r").shape)
         if len(shape) != 3 or shape[1] % factor or shape[2] % factor:
             raise ValueError(
                 f"npy patches must be [C, H, W] with H, W multiples of "
@@ -464,7 +478,7 @@ def main(argv=None) -> int:
     p.add_argument("--output-dir", required=True)
     p.add_argument("--factor", type=int, default=8)
     p.add_argument("--in-group", default=GROUP_DENOISED)
-    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
     p.add_argument("--input-format", choices=["auto", "nc", "npy"],

@@ -202,7 +202,6 @@ def train_fleet(
     state, start_iter = maybe_resume(cfg, state, ckpt_dir,
                                      announce=cfg.verbose)
 
-    pool_dev = jnp.asarray(stacked)
     sizes_dev = jnp.asarray(np.asarray(sizes, np.int32))
     put = jnp.asarray
     if mesh is not None:
@@ -213,10 +212,15 @@ def train_fleet(
                 f"{s_total} scenes not divisible over {n_dev} devices"
             )
         shard = NamedSharding(mesh, P(axis))
-        pool_dev = jax.device_put(pool_dev, shard)
+        # shard the stacked pool straight from host memory: staging it on
+        # the default device first would bound fleet size by ONE chip's
+        # HBM even when the sharded layout fits
+        pool_dev = jax.device_put(stacked, shard)
         sizes_dev = jax.device_put(sizes_dev, shard)
         state = jax.device_put(state, shard)
         put = lambda a: jax.device_put(a, shard)  # noqa: E731
+    else:
+        pool_dev = jnp.asarray(stacked)
 
     if k_steps > 1:
         step_fn = make_fleet_chunk_step(cfg, mesh=mesh)

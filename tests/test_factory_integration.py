@@ -300,3 +300,51 @@ def test_factory_npy_input_xla_route(tmp_path, rng):
             read_band_stack(str(pa), GROUP_LR),
             read_band_stack(str(pb), GROUP_LR), rtol=1e-4, atol=1e-5,
         )
+
+
+def test_factory_npy_route_failure_isolation(tmp_path, rng):
+    """The npy/pallas route honors the per-file failure-isolation contract
+    even at its probe step: an empty input dir yields an empty report (no
+    IndexError), and a corrupt FIRST file fails alone while the rest of
+    the run proceeds."""
+    from kmsr_tpu.pipeline.factory import run_factory
+
+    c, h, f = 5, 16, 4
+    kernel = rng.uniform(0.1, 1, size=(c, 5, 5)).astype(np.float32)
+    np.save(tmp_path / "kernel.npy", kernel)
+    pool = rng.normal(0, 0.1, size=(4, c, h // f, h // f)).astype(np.float32)
+    np.save(tmp_path / "pool.npy", pool)
+
+    # an empty input dir fails loudly up front (uniform list_patch_files
+    # contract, every route) — not with the probe's IndexError
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    with pytest.raises(FileNotFoundError):
+        run_factory(
+            str(empty_dir), str(tmp_path / "kernel.npy"),
+            str(tmp_path / "pool.npy"), str(tmp_path / "out0"),
+            factor=f, backend="pallas", progress=False, input_format="npy",
+        )
+    # an explicitly-routed empty file list (kernel_root scene routing)
+    # yields an empty report
+    report = run_factory(
+        str(empty_dir), str(tmp_path / "kernel.npy"),
+        str(tmp_path / "pool.npy"), str(tmp_path / "out0"),
+        factor=f, backend="pallas", progress=False, input_format="npy",
+        files=[],
+    )
+    assert report.n_ok == 0 and report.n_fail == 0
+
+    patch_dir = tmp_path / "patches"
+    patch_dir.mkdir()
+    (patch_dir / "a_corrupt.npy").write_bytes(b"not an npy file")
+    for i in range(2):
+        np.save(patch_dir / f"b_good{i}.npy",
+                rng.normal(5, 2, size=(c, h, h)).astype(np.float32))
+    report = run_factory(
+        str(patch_dir), str(tmp_path / "kernel.npy"),
+        str(tmp_path / "pool.npy"), str(tmp_path / "out1"),
+        factor=f, backend="pallas", progress=False,
+    )
+    assert report.n_ok == 2 and report.n_fail == 1
+    assert "a_corrupt" in report.failed[0][0]

@@ -35,6 +35,16 @@ def test_scene_prefix_contract():
     assert scene_prefix("LC08_L1TP_115035_20210317_02_T1_004_005.nc") == (
         "LC08_L1TP_115035_20210317_02_T1"
     )
+    # a pathrow+date tail (6/8 digits) is NOT grid indices: two scenes
+    # differing only in those tokens must not collapse into one group
+    assert scene_prefix("LC08_L1TP_115035_20210317.nc") == (
+        "LC08_L1TP_115035_20210317"
+    )
+    assert scene_prefix("LC08_L1TP_116036_20210501.nc") == (
+        "LC08_L1TP_116036_20210501"
+    )
+    # 4-digit grid indices (grids past 999 rows) still strip
+    assert scene_prefix("big_1000_0042.nc") == "big"
 
 
 def test_group_by_scene_orders_and_partitions():
