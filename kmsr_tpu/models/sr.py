@@ -133,12 +133,19 @@ def _bilinear_matrix(n_in: int, n_out: int) -> np.ndarray:
 
 def bilinear_upsample(x: jax.Array, factor: int) -> jax.Array:
     """[B, C, H, W] bilinear x`factor` via per-axis interpolation matmuls
-    (MXU path; equivalent to jax.image.resize(..., "bilinear"))."""
+    (MXU path; equivalent to jax.image.resize(..., "bilinear")).
+
+    HIGHEST precision: this is the PSNR/SSIM BASELINE and eval skip —
+    TPU default matmul precision (one bf16 pass) measured 6e-3 max rel
+    vs the host (scripts/tpu_parity.py), enough to bias reported
+    baseline dB. The model's own bf16 skip (`_skip_nhwc`) keeps the
+    default: its precision is part of the trained compute dtype."""
     b, c, h, w = x.shape
     rh = jnp.asarray(_bilinear_matrix(h, h * factor))
     rw = jnp.asarray(_bilinear_matrix(w, w * factor))
-    y = jnp.einsum("Oh,bchw->bcOw", rh, x)
-    return jnp.einsum("Pw,bchw->bchP", rw, y)
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("Oh,bchw->bcOw", rh, x, precision=hp)
+    return jnp.einsum("Pw,bchw->bchP", rw, y, precision=hp)
 
 
 def _skip_nhwc(x: jax.Array, factor: int, dtype) -> jax.Array:

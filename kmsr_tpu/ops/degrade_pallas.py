@@ -21,11 +21,13 @@ Four generations, selectable via `version` (None = auto):
 - v4 (default for spans > 3*factor where v3 is unavailable): the WHOLE
   stencil — permutation, clamped replicate padding, every composed
   tap — folded into one dense [out_h*out_w, h*w] matrix per channel and
-  applied as 3 bf16-term-split MXU matmuls (`_stencil_matrix`,
-  `_degrade_kernel_v4`). Dense wastes ~10x the sparse FLOPs but rides
-  the MXU: 3.3x v2 at factor 4 (1.56 vs 0.48 M patches/s), though
-  measured SLOWER than v3's VPU lattice where both apply (2.95 vs 3.26M
-  at factor 8) — hence v3 stays the default for narrow spans.
+  applied as magnitude-pruned 3-term bf16-split MXU matmuls (6 passes
+  f32 / 3 passes bf16 input; `_stencil_matrix`, `_degrade_kernel_v4`).
+  Dense wastes ~10x the sparse FLOPs but rides the MXU: 3.3x v2 at
+  factor 4 as the earlier 3-pass spelling (whose 2-term splits measured
+  1.2e-3 max rel on hardware — contraction-amplified split residual),
+  though measured SLOWER than v3's VPU lattice where both apply (2.95
+  vs 3.26M at factor 8) — hence v3 stays the default for narrow spans.
 - v3 (default when the composed span fits 3*factor): fully fused —
   consumes the RAW unpadded block, performs the column phase split
   in-kernel as MXU matmuls with a [W, W] permutation matrix, realizes
@@ -536,7 +538,40 @@ def degrade_pallas_presplit(
     )(*operands)
 
 
-def _degrade_kernel_v4(x_ref, ah_ref, al_ref, out_ref, *,
+def _bf16_terms(a: jax.Array, n: int) -> list:
+    """Split a float32 array into n bf16 terms, a ≈ sum(terms): term i
+    carries mantissa bits [8i, 8i+8); the residual after n terms is
+    <= 2^-8n relative. Exact-in-bf16 inputs come back as [a, 0, ...].
+
+    The split is computed by MANTISSA MASKING (bitcast + and), NOT by
+    `r - r.astype(bf16).astype(f32)` convert roundtrips: XLA on TPU
+    folds the f32->bf16->f32 roundtrip to identity, which silently
+    zeroes every residual term — measured on hardware as a 7.5e-4 max
+    rel error in v4 (the kernel ran on bf16(A) alone) while interpret
+    mode and CPU jit reproduce the intended split exactly
+    (scripts/tpu_parity.py finding). Masked truncation keeps each
+    masked term exactly bf16-representable (sign + exp + 7 mantissa
+    bits) and each subtraction exact in f32; only the LAST term's store
+    can round (the remainder after k maskings holds up to 24-7k bits),
+    bounding the n=3 partition residual at ~2^-22 |a| — well inside the
+    pruned-pass budget."""
+    terms = []
+    r = a
+    for i in range(n):
+        if i == n - 1:
+            t = r
+        else:
+            t = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(r, jnp.uint32)
+                & np.uint32(0xFFFF0000),
+                jnp.float32,
+            )
+        terms.append(t.astype(jnp.bfloat16))
+        r = r - t
+    return terms
+
+
+def _degrade_kernel_v4(x_ref, a_ref, out_ref, *,
                        h: int, w: int, out_h: int, out_w: int):
     """Whole-stencil-as-matmul variant: one [out_h*out_w, h*w] matrix A
     per channel encodes ALL of v3's work — the column permutation, the
@@ -547,21 +582,19 @@ def _degrade_kernel_v4(x_ref, ah_ref, al_ref, out_ref, *,
 
     Dense wastes ~10x the FLOPs of the sparse 400-tap lattice, but buys
     them back on the MXU (vs the VPU fma lattice) and removes the
-    per-row permutation loop entirely. Precision: A and x are each split
-    into exact bf16 terms (A = ah + al, x = xh + xl; MXU products of
-    bf16 operands accumulate in f32 exactly), and the lo*lo term is
-    dropped — residual ~2^-16 of the output, well inside the 1e-3
-    factory parity budget.
+    per-row permutation loop entirely. Precision: A arrives pre-split
+    into THREE exact bf16 terms (a_ref[0, i] carries mantissa bits
+    [8i, 8i+8)); x is split likewise in-kernel, and all term products
+    with combined weight 2^-8(i+j), i+j <= 2 are accumulated (6 MXU
+    passes for f32 x, 3 for bf16-stored x). Two-term splits measured
+    1.2e-3 max rel ON HARDWARE (the h*w-long contraction amplifies the
+    2^-17 split residual ~sqrt(h*w)-fold; interpret mode hides this by
+    computing in f32) — three terms bound the dropped i+j=3 products
+    at ~2^-24*sqrt(h*w) ~ 4e-6.
     """
     bt = x_ref.shape[-1]
     x = x_ref[0].reshape(h * w, bt)
-    if x.dtype == jnp.bfloat16:
-        xh, xl = x, None
-    else:
-        xh = x.astype(jnp.bfloat16)
-        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-    ah = ah_ref[0]
-    al = al_ref[0]
+    xs = [x] if x.dtype == jnp.bfloat16 else _bf16_terms(x, 3)
     dims = (((1,), (0,)), ((), ()))
 
     def dot(a, b):
@@ -569,14 +602,18 @@ def _degrade_kernel_v4(x_ref, ah_ref, al_ref, out_ref, *,
             a, b, dims, preferred_element_type=jnp.float32
         )
 
-    acc = dot(ah, xh) + dot(al, xh)
-    if xl is not None:
-        acc = acc + dot(ah, xl)
+    acc = None
+    for i in range(3):
+        for j in range(len(xs)):
+            if i + j > 2:
+                continue
+            d = dot(a_ref[0, i], xs[j])
+            acc = d if acc is None else acc + d
     out_ref[0] = acc.reshape(out_h, out_w, bt)
 
 
-def _degrade_noise_kernel_v4(x_ref, ah_ref, al_ref, n_ref, out_ref, **kw):
-    _degrade_kernel_v4(x_ref, ah_ref, al_ref, out_ref, **kw)
+def _degrade_noise_kernel_v4(x_ref, a_ref, n_ref, out_ref, **kw):
+    _degrade_kernel_v4(x_ref, a_ref, out_ref, **kw)
     out_ref[0] = out_ref[0] + n_ref[0]
 
 
@@ -685,8 +722,8 @@ def degrade_pallas_chwb(
                 f"stencil matrix; got h={h}, w={w}, factor={factor}"
             )
         a = _stencil_matrix(comp, factor, h, w)
-        ah = a.astype(jnp.bfloat16)
-        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        # three exact bf16 terms stacked on one axis (see _degrade_kernel_v4)
+        a_terms = jnp.stack(_bf16_terms(a, 3), axis=1)  # [C, 3, out_hw, h*w]
         out_hw = out_h * out_w
         grid = (c, b // batch_tile)
         in_specs = [
@@ -696,17 +733,12 @@ def degrade_pallas_chwb(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, out_hw, h * w),
-                lambda ci, bi: (ci, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, out_hw, h * w),
-                lambda ci, bi: (ci, 0, 0),
+                (1, 3, out_hw, h * w),
+                lambda ci, bi: (ci, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
-        operands = [x, ah, al]
+        operands = [x, a_terms]
         kern = _degrade_kernel_v4
         if noise is not None:
             in_specs.append(
@@ -731,9 +763,10 @@ def degrade_pallas_chwb(
             ),
             out_shape=jax.ShapeDtypeStruct((c, out_h, out_w, b), jnp.float32),
             cost_estimate=pl.CostEstimate(
-                flops=3 * 2 * c * out_hw * h * w * b,
+                flops=(3 if x.dtype == jnp.bfloat16 else 6)
+                * 2 * c * out_hw * h * w * b,
                 bytes_accessed=x.size * x.dtype.itemsize
-                + c * out_hw * b * 4 + 2 * ah.size * 2,
+                + c * out_hw * b * 4 + a_terms.size * 2,
                 transcendentals=0,
             ),
             compiler_params=pltpu.CompilerParams(

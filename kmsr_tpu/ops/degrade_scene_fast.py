@@ -381,11 +381,16 @@ def _colsplit_raw_kernel(
 def _pick_tile_raw(out_h: int, factor: int, pr: int, nx: int,
                    target: int = 16):
     """rows_tile for the raw kernel: divides out_h; f*rt a multiple of
-    the sublane block and of the prev/next block-index granularities."""
+    the sublane block and of the prev/next block-index granularities;
+    and rt itself legal as the OUT block's sublane dim (Mosaic requires
+    block dims divisible by 8 or equal to the array dim — an rt=1 tile
+    over a prime out_h like 127 lowers in interpret mode but is REJECTED
+    by the real-TPU lowering; callers take the XLA path on None)."""
     for rt in range(min(target, out_h), 0, -1):
         frt = factor * rt
         if out_h % rt == 0 and frt % _SUBLANE == 0 \
-                and frt % pr == 0 and frt % nx == 0:
+                and frt % pr == 0 and frt % nx == 0 \
+                and (rt % _SUBLANE == 0 or rt == out_h):
             return rt
     return None
 

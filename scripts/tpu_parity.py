@@ -1,0 +1,189 @@
+"""On-hardware parity sweep: every Mosaic kernel variant vs a host oracle.
+
+The pytest suite pins all kernel numerics in Pallas INTERPRET mode (CPU);
+the real-chip Mosaic lowering is exercised only indirectly (benches,
+factory runs, spot checks in scripts/ab_*.py). This script closes that
+gap: one process, every device-kernel variant the framework ships, each
+compared against the same math computed on the HOST CPU backend
+(`ops.degrade.degrade` replicate-pad + depthwise + block-mean oracle;
+numpy NLM; CPU bilinear). Prints one PASS/FAIL line per check and exits
+nonzero on any failure.
+
+Run on the real chip (takes the first-compile hit once per kernel):
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/tpu_parity.py
+
+Tolerances: f32 kernel variants 1e-4 relative (order-of-operations only;
+the v3 'split3' permutation matmuls are f32-exact by construction, see
+`_permute_row`); 'split2' ~1.5e-5 documented residual; bf16 input
+storage 6e-3 (measured 4.4e-3, over the 1e-3 parity budget — why f32
+stays the default, BASELINE.md); NLM 1e-4 vs the float64 numpy oracle.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+FAILURES: list[str] = []
+
+
+def rel_err(got, want) -> float:
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    return float(np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-12))
+
+
+def check(name: str, got, want, tol: float) -> None:
+    e = rel_err(got, want)
+    status = "PASS" if e <= tol else "FAIL"
+    print(f"{status} {name}: max_rel={e:.3e} (tol {tol:g})", flush=True)
+    if e > tol:
+        FAILURES.append(name)
+
+
+def main() -> int:
+    backend = jax.default_backend()
+    print(f"backend={backend} devices={len(jax.devices())}", flush=True)
+    interp = backend != "tpu"  # CPU fallback: interpret mode (CI smoke)
+    if interp:
+        print("WARNING: no TPU — Pallas runs in interpret mode; this only "
+              "smoke-tests the script, not the Mosaic lowering", flush=True)
+    cpu = jax.devices("cpu")[0]
+
+    from kmsr_tpu.ops.degrade import degrade
+    from kmsr_tpu.ops.degrade_pallas import (
+        degrade_pallas,
+        degrade_pallas_chwb,
+        degrade_pallas_presplit,
+        phase_split_chwb,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def host_oracle(img, kernel, factor):
+        with jax.default_device(cpu):
+            return np.asarray(
+                degrade(jnp.asarray(img), jnp.asarray(kernel), factor=factor)
+            )
+
+    # ---- patch kernels: f=8, k=13, 64^2, B=256 --------------------------
+    b, c, s, f = 256, 5, 64, 8
+    img = rng.normal(5, 2, (b, c, s, s)).astype(np.float32)
+    kernel = rng.uniform(0.1, 1, (c, 13, 13)).astype(np.float32)
+    noise = rng.normal(0, 0.1, (b, c, s // f, s // f)).astype(np.float32)
+    want = host_oracle(img, kernel, f)
+
+    t0 = time.time()
+    got = np.asarray(degrade_pallas(jnp.asarray(img), jnp.asarray(kernel),
+                                    factor=f, interpret=interp))
+    print(f"[first compile+run {time.time() - t0:.1f}s]", flush=True)
+    check("patch NCHW wrapper (auto v3)", got, want, 1e-4)
+
+    x = jnp.asarray(np.transpose(img, (1, 2, 3, 0)))  # CHWB
+    want_chwb = np.transpose(want, (1, 2, 3, 0))
+    for version, perm, tol in [
+        (2, "split3", 1e-4),
+        (3, "split3", 1e-4),
+        (3, "split2", 1e-4),
+        (3, "highest", 1e-4),
+        (4, "split3", 1e-4),
+    ]:
+        got = np.asarray(degrade_pallas_chwb(
+            x, jnp.asarray(kernel), factor=f, interpret=interp,
+            version=version, perm_mode=perm,
+        ))
+        check(f"patch chwb v{version}/{perm}", got, want_chwb, tol)
+
+    # fused noise (v3)
+    n_chwb = jnp.asarray(np.transpose(noise, (1, 2, 3, 0)))
+    got = np.asarray(degrade_pallas_chwb(
+        x, jnp.asarray(kernel), noise=n_chwb, factor=f, interpret=interp,
+    ))
+    check("patch chwb v3 + fused noise", got,
+          want_chwb + np.transpose(noise, (1, 2, 3, 0)), 1e-4)
+
+    # pre-split layouts (the factory npy production route)
+    for baked in (True, False):
+        xp = phase_split_chwb(x, factor=f, halo=baked)
+        got = np.asarray(degrade_pallas_presplit(
+            xp, jnp.asarray(kernel), factor=f, interpret=interp,
+            baked_halo=baked,
+        ))
+        tag = "baked-halo" if baked else "halo-free"
+        check(f"patch presplit {tag}", got, want_chwb, 1e-4)
+
+    # bf16 input storage (documented over the 1e-3 parity budget;
+    # kept for halving pool HBM footprint — BASELINE.md)
+    got = np.asarray(degrade_pallas_chwb(
+        x.astype(jnp.bfloat16), jnp.asarray(kernel), factor=f,
+        interpret=interp,
+    ))
+    check("patch chwb v3 bf16 input", got, want_chwb, 6e-3)
+
+    # wide span (f=4, k=13 -> span 16 > 3f): auto -> v4 dense MXU; v2 too
+    want4 = host_oracle(img, kernel, 4)
+    want4_chwb = np.transpose(want4, (1, 2, 3, 0))
+    got = np.asarray(degrade_pallas_chwb(
+        x, jnp.asarray(kernel), factor=4, interpret=interp,
+    ))
+    check("patch chwb f=4 auto (v4 dense-MXU)", got, want4_chwb, 1e-4)
+    got = np.asarray(degrade_pallas_chwb(
+        x, jnp.asarray(kernel), factor=4, interpret=interp, version=2,
+    ))
+    check("patch chwb f=4 v2", got, want4_chwb, 1e-4)
+
+    # ---- whole-scene paths ----------------------------------------------
+    from kmsr_tpu.parallel.spatial import degrade_scene
+
+    scene = rng.normal(5, 2, (c, 1024, 1024)).astype(np.float32)
+    want_sc = host_oracle(scene, kernel, 8)
+    for impl in ("fast", "tiles"):
+        got = np.asarray(degrade_scene(jnp.asarray(scene),
+                                       jnp.asarray(kernel), impl=impl))
+        check(f"scene impl={impl} 1024^2", got, want_sc, 1e-4)
+
+    # shape tolerance: odd scene dims crop like the reference's pools.
+    # out_h = 127 is PRIME: no Mosaic-legal row tile exists, so the fast
+    # path must take its XLA fallback (the rt=1 tile it used to pick
+    # lowers in interpret mode but is rejected by the real-TPU lowering)
+    odd = scene[:, :1019, :1003]
+    want_odd = host_oracle(odd[:, : (1019 // 8) * 8, : (1003 // 8) * 8], kernel, 8)
+    for impl in ("fast", "tiles"):
+        got = np.asarray(degrade_scene(jnp.asarray(odd), jnp.asarray(kernel),
+                                       impl=impl))
+        check(f"scene impl={impl} odd dims 1019x1003", got, want_odd, 1e-4)
+
+    # ---- NLM denoise ------------------------------------------------------
+    from kmsr_tpu.ops.nlm import nlm_denoise_2d, nlm_denoise_np
+    from kmsr_tpu.ops.sigma import estimate_sigma
+
+    band = (rng.normal(5, 1, (128, 128))
+            + rng.normal(0, 0.3, (128, 128))).astype(np.float32)
+    sig = float(estimate_sigma(jnp.asarray(band)))
+    h = 1.8 * sig
+    got = np.asarray(nlm_denoise_2d(jnp.asarray(band), h, sig))
+    want_nlm = nlm_denoise_np(band, h, sig)
+    check("NLM 128^2 vs numpy float64 oracle", got, want_nlm, 1e-4)
+
+    # ---- SR upsampling ------------------------------------------------------
+    from kmsr_tpu.models.sr import bilinear_upsample
+
+    lr = rng.normal(5, 1, (2, c, 32, 32)).astype(np.float32)
+    got = np.asarray(bilinear_upsample(jnp.asarray(lr), 8))
+    with jax.default_device(cpu):
+        want_bl = np.asarray(bilinear_upsample(jnp.asarray(lr), 8))
+    check("SR bilinear skip device vs host", got, want_bl, 1e-5)
+
+    print(f"\n{'ALL PASS' if not FAILURES else 'FAILURES: ' + ', '.join(FAILURES)}",
+          flush=True)
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

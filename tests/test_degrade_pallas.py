@@ -133,6 +133,39 @@ def test_pallas_v3_perm_modes_match(rng, mode):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_bf16_terms_partition(rng):
+    """_bf16_terms must yield a true magnitude-ordered partition on EVERY
+    backend. The original convert-roundtrip spelling degenerated to
+    [bf16(a), 0, 0] under XLA-on-TPU jit (the f32->bf16->f32 roundtrip is
+    folded to identity there), which silently dropped v4's correction
+    passes — found on hardware at 7.5e-4 max rel by scripts/tpu_parity.py.
+    The masking spelling is platform-independent; this pins its contract
+    where CI can see it."""
+    import jax
+
+    from kmsr_tpu.ops.degrade_pallas import _bf16_terms
+
+    a = jnp.asarray(rng.normal(0, 1, (64, 128)).astype(np.float32))
+    terms = jax.jit(lambda v: [t.astype(jnp.float32)
+                               for t in _bf16_terms(v, 3)])(a)
+    t = [np.asarray(x, np.float64) for x in terms]
+    # near-exact partition: only the LAST term's bf16 store may round
+    # (remainder after two 7-bit maskings can hold ~10 bits)
+    m_a = float(np.max(np.abs(np.asarray(a))))
+    np.testing.assert_allclose(
+        t[0] + t[1] + t[2], np.asarray(a, np.float64),
+        rtol=0, atol=2.0 ** -21 * m_a,
+    )
+    # magnitude-ordered: term i carries ~2^-7i of the value
+    m = float(np.max(np.abs(np.asarray(a))))
+    assert float(np.max(np.abs(t[1]))) < 2.0 ** -6 * m
+    assert float(np.max(np.abs(t[2]))) < 2.0 ** -13 * m
+    # NOT degenerate: random f32 data is not bf16-exact, so the residual
+    # terms must be nonzero (the folded-roundtrip failure mode)
+    assert float(np.max(np.abs(t[1]))) > 0
+    assert float(np.max(np.abs(t[2]))) > 0
+
+
 def test_pallas_v4_dense_mxu_stencil(rng):
     """v4 (whole stencil as dense bf16-term-split MXU matmuls) must
     match the XLA oracle at BOTH narrow (f=8, span 20 <= 24) and wide

@@ -77,6 +77,17 @@ def test_pick_tile_rules():
     assert _pick_tile(8, 8, 16) == 8
     assert _pick_tile(12, 4, 16) == 12  # f*rt = 48, mult of 8 and 16
     assert _pick_tile(3, 3, 16) is None  # f*rt in {9, 3}: no legal block
+    # rt itself must be a Mosaic-legal OUT-block sublane dim: divisible
+    # by 8 or equal to out_h. A prime out_h (127 = 1016/8, from an odd
+    # 1019-row scene) only offers rt=1, which the real-TPU lowering
+    # rejects even though interpret mode accepts it — the picker must
+    # return None so degrade_rows_fast/slab_fast take the XLA fallback.
+    from kmsr_tpu.ops.degrade_scene_fast import _pick_tile_raw
+
+    assert _pick_tile(127, 8, 8) is None
+    assert _pick_tile_raw(127, 8, 8, 8) is None
+    # non-prime but 8-free divisors ≤ target also fall back (e.g. 2·61)
+    assert _pick_tile_raw(122, 8, 8, 8) is None
 
 
 def _edge_halos(scene, factor, ksize):
