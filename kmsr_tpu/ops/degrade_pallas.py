@@ -23,11 +23,12 @@ Four generations, selectable via `version` (None = auto):
   tap — folded into one dense [out_h*out_w, h*w] matrix per channel and
   applied as magnitude-pruned 3-term bf16-split MXU matmuls (6 passes
   f32 / 3 passes bf16 input; `_stencil_matrix`, `_degrade_kernel_v4`).
-  Dense wastes ~10x the sparse FLOPs but rides the MXU: 3.3x v2 at
-  factor 4 as the earlier 3-pass spelling (whose 2-term splits measured
-  1.2e-3 max rel on hardware — contraction-amplified split residual),
-  though measured SLOWER than v3's VPU lattice where both apply (2.95
-  vs 3.26M at factor 8) — hence v3 stays the default for narrow spans.
+  Dense wastes ~10x the sparse FLOPs but rides the MXU: 2.75x v2 at
+  factor 4 with the exact 6-pass spelling (1.26 vs 0.46M patches/s on
+  chip; the earlier 3-pass 2-term spelling measured 3.3x but 1.2e-3
+  max rel — contraction-amplified split residual), 1.60M on bf16-stored
+  input (3 passes). Measured SLOWER than v3's VPU lattice where both
+  apply (2.95 vs 3.26M at factor 8) — v3 stays the narrow-span default.
 - v3 (default when the composed span fits 3*factor): fully fused —
   consumes the RAW unpadded block, performs the column phase split
   in-kernel as MXU matmuls with a [W, W] permutation matrix, realizes
@@ -672,7 +673,7 @@ def degrade_pallas_chwb(
     patches/s/chip on v5e — vs the v1/v2 route, which pays an XLA
     edge-pad + phase-split pre-pass at ~3x copy cost) whenever the
     composed kernel span fits 3*factor; the dense-MXU v4 for wider
-    spans when its layout constraints hold (3.3x v2 at factor 4);
+    spans when its layout constraints hold (2.75x v2 at factor 4);
     else v2.
 
     perm_mode (v3 only) sets the in-kernel column-permutation matmul's
@@ -710,7 +711,7 @@ def degrade_pallas_chwb(
         if ksize <= 3 * factor:
             version = 3       # VPU tap lattice (fastest when it fits)
         elif v4_ok:
-            version = 4       # dense MXU stencil: any span, 3.3x v2
+            version = 4       # dense MXU stencil: any span, 2.75x v2
         else:
             version = 2
     if version not in (1, 2, 3, 4):
