@@ -21,15 +21,19 @@ default 32), KMSR_FLEET_ITERS (timed dispatches, default 30),
 KMSR_FLEET_K (steps_per_call: K>1 fuses K steps per dispatch into one
 on-device lax.scan, default 1), KMSR_FLEET_HR / KMSR_FLEET_BATCH
 (shrink the reference 256^2 / 16 schedule for smoke runs),
-KMSR_FLEET_FWD (generator forward mode, default "compose").
+KMSR_FLEET_FWD (generator forward mode, default "compose"),
+KMSR_FLEET_CHUNK (scenes per vmapped dispatch chunk via lax.map,
+0/unset = all scenes in one vmap).
 
 Forward mode: the fleet defaults to the production "compose" forward
 (single depthwise conv with the composed 13x13 kernel — same linear map
 as the reference chain away from a 6px border rim, ~230x fewer FLOPs).
 The reference-exact "chain" forward stores [B, 5*mid, 256, 256] f32
 activations per layer for the G backward; at 8 scenes x batch 16 that
-is a measured 21.8 GB fusion — over the 16 GB v5e HBM — so chain-mode
-fleets need KMSR_FLEET_HR=128 or <=2 scenes at full scale.
+is a measured 21.8 GB fusion — over the 16 GB v5e HBM. Scene chunking
+(KMSR_FLEET_CHUNK, auto in `train_fleet`) bounds the residuals by one
+chunk, so full-scale chain fleets run on one chip; the chain step is
+dense enough that sequential chunks cost little fleet speedup.
 """
 from __future__ import annotations
 
@@ -115,11 +119,15 @@ def main() -> int:
     t_single, _ = _median_step(single_step, state1, single_args, iters)
 
     # --- fleet ----------------------------------------------------------
+    # KMSR_FLEET_CHUNK=m: m-scene vmapped chunks under lax.map (bounds
+    # chain-mode residual HBM; 0/unset = all scenes in one vmap)
+    chunk = int(os.environ.get("KMSR_FLEET_CHUNK", "0")) or None
     if k_steps > 1:
-        fleet_step = make_fleet_chunk_step(cfg)
+        fleet_step = make_fleet_chunk_step(cfg, s_local=s_total,
+                                           scene_chunk=chunk)
         fleet_args = (pools, jnp.full((s_total,), n_pool, jnp.int32))
     else:
-        fleet_step = make_fleet_step(cfg)
+        fleet_step = make_fleet_step(cfg, s_local=s_total, scene_chunk=chunk)
         fleet_args = (pools, hr_idx, crop_idx)
     state = _stack_states(
         [init_training(dataclasses.replace(cfg, seed=s))

@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scene-parallel", action="store_true",
                    help="shard the scene axis over all local devices "
                         "(zero collectives; scenes must divide devices)")
+    p.add_argument("--scene-chunk", type=int, default=0,
+                   help="scenes per vmapped dispatch chunk (bounds chain-"
+                        "mode activation HBM; must divide the per-device "
+                        "scene count; 0 = auto by residual estimate)")
     return p
 
 
@@ -134,7 +138,8 @@ def main(argv=None) -> int:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(axis_names=("scene",))
-    out = train_fleet(pools, cfg, scene_names=names, mesh=mesh)
+    out = train_fleet(pools, cfg, scene_names=names, mesh=mesh,
+                      scene_chunk=a.scene_chunk or None)
     print(f"fleet done: {len(out['scene_names'])} scenes -> {a.outdir}")
     return 0
 

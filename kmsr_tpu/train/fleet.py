@@ -72,9 +72,68 @@ def _stack_pools(pools: Sequence[PatchPool]) -> tuple[np.ndarray, list[int]]:
     return stacked, sizes
 
 
-def make_fleet_chunk_step(cfg: SingleKernelConfig, mesh=None):
+def _activation_bytes_per_scene(cfg: SingleKernelConfig, hr_size: int) -> int:
+    """Rough HBM residual footprint of ONE scene's chain-mode G step: the
+    inputs of every conv layer are saved for the backward pass (f32).
+    Compose mode stores only the 5-band input — negligible."""
+    g = cfg.generator
+    if g.forward_mode != "chain":
+        return 4 * cfg.batch_size * g.in_ch * hr_size**2
+    chans = g.in_ch  # layer-0 input: the raw bands
+    for out_c, _in_c in g.layer_channels[:-1]:
+        chans += g.in_ch * out_c  # grouped-conv activations, all bands
+    return 4 * cfg.batch_size * chans * hr_size**2
+
+
+def pick_scene_chunk(cfg: SingleKernelConfig, s_local: int, hr_size: int,
+                     budget_bytes: int = 6 << 30) -> int:
+    """Largest divisor m of s_local whose m-scene vmapped step keeps the
+    estimated chain residuals under `budget_bytes` (min 1). Compose-mode
+    fleets always fit — returns s_local there."""
+    per_scene = _activation_bytes_per_scene(cfg, hr_size)
+    for m in range(s_local, 0, -1):
+        if s_local % m == 0 and m * per_scene <= budget_bytes:
+            return m
+    return 1
+
+
+def _chunk_scenes(vfn, m: int, s_total: int):
+    """vmapped-over-scenes fn -> same fn computed in chunks of m scenes
+    via `lax.map` (sequential): peak activation memory drops from
+    s_total/m-fold to one chunk's. Per-scene draws and math are the
+    same; values agree to f32 reduction order (XLA schedules convs per
+    dispatch batch shape — last-ULP loss deltas observed).
+    m == s_total returns vfn unchanged (pure vmap, today's behavior)."""
+    if m == s_total:
+        return vfn
+    if s_total % m:
+        raise ValueError(f"scene_chunk {m} must divide the scene count "
+                         f"{s_total} (per device)")
+
+    def fn(*args):
+        args_c = jax.tree_util.tree_map(
+            lambda a: a.reshape((s_total // m, m) + a.shape[1:]), args
+        )
+        out = jax.lax.map(lambda ch: vfn(*ch), args_c)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((s_total,) + a.shape[2:]), out
+        )
+
+    return fn
+
+
+def make_fleet_chunk_step(cfg: SingleKernelConfig, mesh=None,
+                          s_local: int | None = None,
+                          scene_chunk: int | None = None):
     """K-step scan chunk vmapped over the scene axis:
     (state_S, pool_S, n_pool_S) -> (state_S, metrics_S[..., K-axis]).
+
+    scene_chunk=m (with s_local, the per-device scene count) runs the
+    scenes in m-wide vmapped chunks under `lax.map` — chain-mode fleets
+    at full patch size exceed one chip's HBM when all scenes' conv
+    residuals are alive at once (21.8 GB for 8 scenes at batch 16,
+    256^2); chunking bounds that by one chunk (values agree to f32
+    reduction order — see `_chunk_scenes`).
 
     Index sampling moves to each scene's device PRNG stream — the same
     split order and randint draws as the single trainer's
@@ -102,6 +161,8 @@ def make_fleet_chunk_step(cfg: SingleKernelConfig, mesh=None):
         return jax.lax.scan(body, state, None, length=k_steps)
 
     vstep = jax.vmap(one)
+    if scene_chunk is not None:
+        vstep = _chunk_scenes(vstep, scene_chunk, s_local)
     if mesh is not None:
         axis = mesh.axis_names[0]
         vstep = shard_map(
@@ -114,9 +175,12 @@ def make_fleet_chunk_step(cfg: SingleKernelConfig, mesh=None):
     return jax.jit(vstep, donate_argnums=(0,))
 
 
-def make_fleet_step(cfg: SingleKernelConfig, mesh=None):
+def make_fleet_step(cfg: SingleKernelConfig, mesh=None,
+                    s_local: int | None = None,
+                    scene_chunk: int | None = None):
     """The jitted fleet step: (state_S, pool_S, hr_idx_S, crop_idx_S) ->
     (state_S, metrics_S). Every argument carries a leading scene axis.
+    scene_chunk: see `make_fleet_chunk_step`.
 
     With a mesh, the vmapped step is wrapped in `shard_map` over the
     scene axis: each device runs its local scenes' GANs with no
@@ -133,6 +197,8 @@ def make_fleet_step(cfg: SingleKernelConfig, mesh=None):
         )
 
     vstep = jax.vmap(one)
+    if scene_chunk is not None:
+        vstep = _chunk_scenes(vstep, scene_chunk, s_local)
     if mesh is not None:
         axis = mesh.axis_names[0]
         vstep = shard_map(
@@ -151,8 +217,15 @@ def train_fleet(
     scene_names: Optional[Sequence[str]] = None,
     mesh=None,
     progress: bool = True,
+    scene_chunk: Optional[int] = None,
 ) -> dict:
     """Train one KernelGAN per pool, all simultaneously.
+
+    scene_chunk: scenes dispatched per vmapped chunk on each device
+    (`lax.map` over chunks — bounds chain-mode conv-residual HBM by one
+    chunk; values agree to f32 reduction order). None = auto: all
+    scenes for compose mode, the largest divisor fitting a ~6 GB
+    residual budget for chain mode (`pick_scene_chunk`).
 
     pools: one PatchPool per scene (HR patches, same [C, H, W] shape).
     cfg: shared hyper-parameters; scene s uses seed `cfg.seed + s` and
@@ -222,11 +295,25 @@ def train_fleet(
     else:
         pool_dev = jnp.asarray(stacked)
 
+    s_local = s_total if mesh is None else s_total // mesh.shape[mesh.axis_names[0]]
+    if scene_chunk is None:
+        scene_chunk = pick_scene_chunk(cfg, s_local, stacked.shape[-1])
+        if cfg.verbose and scene_chunk != s_local:
+            print(f"[fleet] chain-mode residuals: dispatching "
+                  f"{scene_chunk}/{s_local} scenes per chunk")
+    elif s_local % scene_chunk:
+        raise ValueError(
+            f"scene_chunk {scene_chunk} must divide the per-device scene "
+            f"count {s_local}"
+        )
+
     if k_steps > 1:
-        step_fn = make_fleet_chunk_step(cfg, mesh=mesh)
+        step_fn = make_fleet_chunk_step(cfg, mesh=mesh, s_local=s_local,
+                                        scene_chunk=scene_chunk)
         host_rngs = None
     else:
-        step_fn = make_fleet_step(cfg, mesh=mesh)
+        step_fn = make_fleet_step(cfg, mesh=mesh, s_local=s_local,
+                                  scene_chunk=scene_chunk)
         # per-scene host RNG streams identical to a standalone run at seed+s
         host_rngs = [
             np.random.default_rng(cfg.seed + s + start_iter)

@@ -209,3 +209,50 @@ def test_fleet_cli(rng, tmp_path):
     assert rc == 0
     for name in ("sceneA", "sceneB"):
         assert (out / name / "kernel_per_band.npy").exists()
+
+
+def test_pick_scene_chunk_estimates():
+    """Auto chunk: compose fleets always run in one vmap; chain fleets at
+    the reference schedule (batch 16, 256^2) are chunked so conv
+    residuals (~3.4 GB/scene) fit the ~6 GB budget."""
+    from kmsr_tpu.train.fleet import pick_scene_chunk
+
+    ref = SingleKernelConfig(batch_size=16)  # chain mode default
+    assert pick_scene_chunk(ref, 8, 256) == 1
+    assert pick_scene_chunk(ref, 8, 128) == 4
+    compose = dataclasses.replace(
+        ref, generator=GeneratorConfig(forward_mode="compose")
+    )
+    assert pick_scene_chunk(compose, 8, 256) == 8
+
+
+@pytest.mark.slow
+def test_fleet_scene_chunk_matches_vmap(rng, tmp_path):
+    """lax.map scene chunking reproduces the all-scenes-vmap fleet (both
+    K=1 host-RNG and K>1 device-PRNG streams). Same draws, same per-scene
+    math — but only up to f32 reduction order: XLA schedules convs
+    differently per dispatch batch shape (observed: last-ULP CSV loss
+    deltas), so logs compare numerically, not as strings."""
+    pools = [make_pool(rng, n=4) for _ in range(4)]
+    for k in (1, 2):
+        cfg = tiny_cfg(tmp_path / f"ref_k{k}", iters=2, steps_per_call=k)
+        ref = train_fleet(pools, cfg, progress=False)
+        cfg_c = dataclasses.replace(
+            cfg, outdir=str(tmp_path / f"chunk_k{k}")
+        )
+        got = train_fleet(pools, cfg_c, progress=False, scene_chunk=2)
+        np.testing.assert_allclose(
+            got["kernel_per_band"], ref["kernel_per_band"],
+            rtol=1e-5, atol=1e-7,
+        )
+        for fr, fg in zip(ref["log_files"], got["log_files"]):
+            rows_r = np.loadtxt(fr, delimiter=",", skiprows=1)
+            rows_g = np.loadtxt(fg, delimiter=",", skiprows=1)
+            np.testing.assert_allclose(rows_g, rows_r, rtol=1e-5, atol=1e-7)
+
+
+def test_fleet_scene_chunk_must_divide(rng, tmp_path):
+    pools = [make_pool(rng) for _ in range(3)]
+    with pytest.raises(ValueError):
+        train_fleet(pools, tiny_cfg(tmp_path), progress=False,
+                    scene_chunk=2)
