@@ -24,6 +24,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from kmsr_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # tunnel first-compiles cost 200-390s cold
+
     batch = 8192
     iters = 50
     rng = np.random.default_rng(0)

@@ -208,6 +208,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     a = build_parser().parse_args(argv)
     report = apply_kernel_to_folder(
         a.input_dir,

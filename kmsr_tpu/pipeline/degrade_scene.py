@@ -114,6 +114,9 @@ def process_scenes(
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="Whole-scene sharded degrade")
     p.add_argument("--input", required=True, help=".nc scene file or folder")
     p.add_argument("--kernel", required=True)

@@ -192,6 +192,9 @@ def compare_denoised(file_path: str, band: str, output_path: str) -> dict:
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="NLM denoise stage")
     p.add_argument("file", nargs="?", help="single .nc file to denoise")
     p.add_argument("--batch", default=None, help="denoise a whole folder")

@@ -459,6 +459,9 @@ def run_factory(
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="Fused hr/lr train-data factory")
     p.add_argument("--input-dir", required=True)
     src = p.add_mutually_exclusive_group(required=True)

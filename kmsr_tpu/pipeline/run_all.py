@@ -295,6 +295,9 @@ def run_pipeline(config: dict, from_stage: str | None = None,
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="Run the full kmsr pipeline DAG")
     p.add_argument("--config", help="JSON config (see --write-config)")
     p.add_argument("--write-config", metavar="PATH",

@@ -107,6 +107,9 @@ def sr_infer_folder(
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="SR inference over .nc folder")
     p.add_argument("--input-dir", required=True)
     p.add_argument("--model", required=True)

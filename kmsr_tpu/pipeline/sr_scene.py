@@ -221,6 +221,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     a = build_parser().parse_args(argv)
     cfg = SRConfig(width=a.width, n_blocks=a.n_blocks, factor=a.factor,
                    upsampler=a.upsampler)

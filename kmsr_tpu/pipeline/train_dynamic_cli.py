@@ -24,6 +24,9 @@ from ..train.dynamic import (
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="Train dynamic degradation model")
     p.add_argument("--patch-dir", required=True)
     p.add_argument("--outdir", required=True)

@@ -17,6 +17,9 @@ from ..train.moe import MoETrainConfig, train_moe
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="Train MoE kernel bank")
     p.add_argument("--patch-dir", required=True)
     p.add_argument("--outdir", required=True)

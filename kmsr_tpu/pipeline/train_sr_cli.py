@@ -27,6 +27,9 @@ def load_pairs(train_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="Train SR CNN on hr/lr pairs")
     p.add_argument("--train-dir", required=True)
     p.add_argument("--outdir", required=True)

@@ -225,3 +225,32 @@ def test_data_stats_cli(tmp_path, rng, capsys):
     stats_nc = json.loads(capsys.readouterr().out)
     for b in BAND_NAMES:
         np.testing.assert_allclose(stats_nc[b]["mean"], stats[b]["mean"], rtol=1e-4)
+
+
+def test_enable_persistent_cache(tmp_path, monkeypatch):
+    """The CLI compilation cache points jax at a durable dir, honours the
+    env overrides, and never raises when disabled or unwritable."""
+    import jax
+
+    from kmsr_tpu.utils.cache import enable_persistent_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        cache_dir = tmp_path / "xla"
+        monkeypatch.setenv("KMSR_CACHE_DIR", str(cache_dir))
+        assert enable_persistent_cache() == str(cache_dir)
+        assert cache_dir.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+
+        monkeypatch.setenv("KMSR_CACHE", "0")
+        assert enable_persistent_cache() is None
+        # disabled call must not clobber the configured dir
+        assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+
+        monkeypatch.delenv("KMSR_CACHE")
+        assert (
+            enable_persistent_cache(cache_dir=str(tmp_path / "explicit"))
+            == str(tmp_path / "explicit")
+        )
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
