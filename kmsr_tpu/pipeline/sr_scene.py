@@ -112,6 +112,15 @@ def sr_scene(
         sharding = NamedSharding(mesh, P("data"))
 
     out = np.empty((c, h * f, w * f), np.float32)
+
+    def assemble(group, res_dev):
+        # np.asarray is the sync point: it blocks on chunk i's device
+        # compute + D2H while chunk i+1 (already dispatched) executes.
+        res = np.asarray(res_dev)[: len(group)]
+        for (y0, x0), tile_out in zip(group, res):
+            out[:, y0 * f : (y0 + th) * f, x0 * f : (x0 + tw) * f] = tile_out
+
+    pending = None  # one-deep pipeline: (group, in-flight device result)
     for i0 in range(0, len(coords), chunk):
         group = coords[i0 : i0 + chunk]
         n = len(group)
@@ -133,11 +142,14 @@ def sr_scene(
         sb = jnp.asarray(slabs)
         if sharding is not None:
             sb = jax.device_put(sb, sharding)
-        res = np.asarray(
-            fwd(params, sb, jnp.asarray(oys, jnp.int32), jnp.asarray(oxs, jnp.int32))
-        )[:n]
-        for (y0, x0), tile_out in zip(group, res):
-            out[:, y0 * f : (y0 + th) * f, x0 * f : (x0 + tw) * f] = tile_out
+        res_dev = fwd(
+            params, sb, jnp.asarray(oys, jnp.int32), jnp.asarray(oxs, jnp.int32)
+        )
+        if pending is not None:
+            assemble(*pending)
+        pending = (group, res_dev)
+    if pending is not None:
+        assemble(*pending)
 
     if not valid.all():
         # in-place masked write on a block view — a repeated boolean mask
