@@ -108,9 +108,37 @@ def _argv(options: dict, **extra) -> list[str]:
     return out
 
 
+def _marker_path(work: str, stage: str) -> str:
+    return os.path.join(work, ".stages", f"{stage}.json")
+
+
+def _stage_done(work: str, stage: str, argv: list[str]) -> bool:
+    """True when a completion marker exists AND was written for the same
+    stage argv — a config change invalidates the marker, so --resume never
+    silently serves stale outputs."""
+    try:
+        with open(_marker_path(work, stage), encoding="utf-8") as f:
+            return json.load(f).get("argv") == argv
+    except (OSError, ValueError):
+        return False
+
+
+def _mark_done(work: str, stage: str, argv: list[str], seconds: float) -> None:
+    path = _marker_path(work, stage)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"stage": stage, "argv": argv, "seconds": seconds}, f)
+
+
 def run_pipeline(config: dict, from_stage: str | None = None,
-                 only: list[str] | None = None) -> dict:
-    """Execute the DAG; returns {stage: seconds}. Raises on stage failure."""
+                 only: list[str] | None = None, resume: bool = False) -> dict:
+    """Execute the DAG; returns {stage: seconds}. Raises on stage failure.
+
+    resume=True skips every stage whose completion marker
+    (<workdir>/.stages/<stage>.json) matches the stage's current argv —
+    a crashed or interrupted run re-executes only the failed stage and
+    everything after it (together with the persistent compilation cache
+    this makes a rerun after a late-stage crash near-free)."""
     cfg = copy.deepcopy(DEFAULT_CONFIG)
     cfg.update({k: v for k, v in config.items() if k != "stages"})
     for name, block in (config.get("stages") or {}).items():
@@ -282,12 +310,16 @@ def run_pipeline(config: dict, from_stage: str | None = None,
         if not enabled[name]:
             print(f"[run_all] {name}: disabled")
             continue
+        if resume and _stage_done(work, name, argv):
+            print(f"[run_all] {name}: skipped (--resume, already complete)")
+            continue
         print(f"[run_all] {name}: {' '.join(argv)}")
         t0 = time.time()
         rc = fn(argv)
         timings[name] = time.time() - t0
         if rc not in (0, None):
             raise RuntimeError(f"stage '{name}' failed with exit code {rc}")
+        _mark_done(work, name, argv, timings[name])
         print(f"[run_all] {name}: done in {timings[name]:.1f}s")
     total = sum(timings.values())
     print(f"[run_all] pipeline complete: {len(timings)} stages, {total:.1f}s")
@@ -306,6 +338,10 @@ def main(argv=None) -> int:
     p.add_argument("--input-dir", help="override config input_dir")
     p.add_argument("--from-stage", help="resume the DAG at this stage")
     p.add_argument("--only", help="comma-separated subset of stages to run")
+    p.add_argument("--resume", action="store_true",
+                   help="skip stages already completed in this workdir "
+                        "(markers in <workdir>/.stages; a changed stage "
+                        "config re-runs the stage)")
     a = p.parse_args(argv)
 
     if a.write_config:
@@ -325,6 +361,7 @@ def main(argv=None) -> int:
         config,
         from_stage=a.from_stage,
         only=a.only.split(",") if a.only else None,
+        resume=a.resume,
     )
     return 0
 

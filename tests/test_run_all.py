@@ -164,3 +164,25 @@ def test_run_all_calibrate_requires_root(tmp_path, scenes):
     cfg["stages"]["calibrate"] = {"enabled": True}
     with pytest.raises(ValueError, match="landsat_root"):
         run_pipeline(cfg)
+
+
+def test_run_all_resume_markers(tmp_path, scenes):
+    """--resume skips completed stages via argv-keyed markers; a changed
+    stage config invalidates its marker and re-runs the stage."""
+    cfg = tiny_config(tmp_path, scenes)
+
+    t1 = run_pipeline(cfg, only=["cut"], resume=True)
+    assert list(t1) == ["cut"]
+    assert (tmp_path / "run" / ".stages" / "cut.json").exists()
+
+    t2 = run_pipeline(cfg, only=["cut"], resume=True)
+    assert t2 == {}  # marker matched -> skipped
+
+    # without --resume the marker is ignored
+    t3 = run_pipeline(cfg, only=["cut"])
+    assert list(t3) == ["cut"]
+
+    # a config change must re-run the stage
+    cfg["stages"]["cut"]["patch_size"] = 16
+    t4 = run_pipeline(cfg, only=["cut"], resume=True)
+    assert list(t4) == ["cut"]
