@@ -366,6 +366,21 @@ def run_factory(
                 )
             except ImportError:
                 pass
+        def _writeback(paths, nat, b, lr_dev):
+            # np.asarray is the sync point — materializing batch k here,
+            # after batch k+1 was dispatched, overlaps device compute +
+            # D2H with the host-side zlib .nc writes (one-deep pipeline)
+            lr_batch = np.transpose(np.asarray(lr_dev), (3, 0, 1, 2))[:b]
+            for path, hr, lr in zip(paths, nat, lr_batch):
+                try:
+                    base = os.path.splitext(os.path.basename(path))[0]
+                    out_path = os.path.join(output_dir, f"{base}_train.nc")
+                    save_training_sample(out_path, hr, lr, None)
+                    ok.append(out_path)
+                except Exception as e:
+                    fail.append((path, str(e)))
+
+        pending = None
         for paths, xp, nat, chunk_fail in batches:
             fail.extend(chunk_fail)
             if xp is None:
@@ -391,15 +406,11 @@ def run_factory(
                     jnp.asarray(xp), kernel, noise=jnp.asarray(noise),
                     factor=factor, interpret=interp, baked_halo=False,
                 )
-            lr_batch = np.transpose(np.asarray(lr_dev), (3, 0, 1, 2))[:b]
-            for path, hr, lr in zip(paths, nat, lr_batch):
-                try:
-                    base = os.path.splitext(os.path.basename(path))[0]
-                    out_path = os.path.join(output_dir, f"{base}_train.nc")
-                    save_training_sample(out_path, hr, lr, None)
-                    ok.append(out_path)
-                except Exception as e:
-                    fail.append((path, str(e)))
+            if pending is not None:
+                _writeback(*pending)
+            pending = (paths, nat, b, lr_dev)
+        if pending is not None:
+            _writeback(*pending)
         report = RunReport(succeeded=ok, failed=fail, seconds=time.time() - t0)
         print(f"factory[pallas-presplit]: {report.summary()} -> {output_dir}")
         return report
@@ -425,17 +436,9 @@ def run_factory(
             )
         except ImportError:
             pass
-    for valid, stacks, chunk_fail in reader:
-        fail.extend(chunk_fail)
-        if not stacks:
-            continue
-        hr_batch = np.stack(stacks, axis=0)
-        noise_idx = noise_idx_all[[file_pos[p] for p in valid]]
-        noise = jnp.asarray(pool[noise_idx])
-        # chunking-independent key: fold the chunk's first file position
-        # into the seed key (only consumed by --moe-noise sigma)
-        key = jax.random.fold_in(base_key, file_pos[valid[0]])
-        lr_dev, experts_dev = fn(jnp.asarray(hr_batch), noise, key)
+    def _writeback(valid, hr_batch, lr_dev, experts_dev):
+        # np.asarray syncs batch k AFTER batch k+1 was dispatched: device
+        # compute + D2H overlap the host-side nav reads and zlib .nc writes
         lr_batch = np.asarray(lr_dev)
         experts = np.asarray(experts_dev)
         for path, hr, lr, expert in zip(valid, hr_batch, lr_batch, experts):
@@ -453,6 +456,24 @@ def run_factory(
                 ok.append(out_path)
             except Exception as e:
                 fail.append((path, str(e)))
+
+    pending = None
+    for valid, stacks, chunk_fail in reader:
+        fail.extend(chunk_fail)
+        if not stacks:
+            continue
+        hr_batch = np.stack(stacks, axis=0)
+        noise_idx = noise_idx_all[[file_pos[p] for p in valid]]
+        noise = jnp.asarray(pool[noise_idx])
+        # chunking-independent key: fold the chunk's first file position
+        # into the seed key (only consumed by --moe-noise sigma)
+        key = jax.random.fold_in(base_key, file_pos[valid[0]])
+        lr_dev, experts_dev = fn(jnp.asarray(hr_batch), noise, key)
+        if pending is not None:
+            _writeback(*pending)
+        pending = (valid, hr_batch, lr_dev, experts_dev)
+    if pending is not None:
+        _writeback(*pending)
     report = RunReport(succeeded=ok, failed=fail, seconds=time.time() - t0)
     print(f"factory[{backend}]: {report.summary()} -> {output_dir}")
     return report
