@@ -207,6 +207,15 @@ def denoise_batch(
     Returns (denoised [N, C, H, W], sigmas [N, C]). This is the pipeline
     fast path: all N*C bands ride the same 529-shift kernel launch.
     """
+    return denoise_batch_finalize(denoise_batch_dispatch(stacks, h_factor))
+
+
+def denoise_batch_dispatch(stacks: np.ndarray, h_factor: float = 1.8):
+    """Async half of `denoise_batch`: NaN-fill, upload and dispatch the
+    shift sweep; returns an opaque in-flight handle. Materialize with
+    `denoise_batch_finalize` — splitting the two lets a batch driver keep
+    one chunk's sweep in flight while it writes the previous chunk out.
+    """
     stacks = np.asarray(stacks, np.float32)
     n, c = stacks.shape[:2]
     valid = ~np.isnan(stacks)
@@ -228,13 +237,22 @@ def denoise_batch(
     sharding, n_dev = local_batch_dp()
     dev, nb = pad_put(filled, sharding, n_dev)
     sig = jax.vmap(estimate_sigma)(dev)  # [N*C (padded)]
-    den = np.asarray(nlm_denoise_2d(dev, h_factor * sig, sig))[:nb]
+    den_dev = nlm_denoise_2d(dev, h_factor * sig, sig)
+    return den_dev, sig, nb, valid, flat, any_valid, stacks.shape
+
+
+def denoise_batch_finalize(handle) -> tuple[np.ndarray, np.ndarray]:
+    """Sync half of `denoise_batch`: block on the in-flight sweep, then
+    restore NaNs and dead-band passthrough on host."""
+    den_dev, sig, nb, valid, flat, any_valid, shape = handle
+    n, c = shape[:2]
+    den = np.asarray(den_dev)[:nb]
     sig = np.asarray(sig)[:nb]
     out = np.where(valid.reshape(flat.shape), den, np.nan).astype(np.float32)
     dead = ~any_valid.reshape(-1)
     out[dead] = flat[dead]
     sigmas = np.where(any_valid, np.asarray(sig).reshape(n, c), 0.0)
-    return out.reshape(stacks.shape), sigmas.astype(np.float32)
+    return out.reshape(shape), sigmas.astype(np.float32)
 
 
 def denoise_stack(

@@ -151,12 +151,9 @@ def apply_kernel_to_folder(
         except ImportError:
             pass
 
-    for valid, stacks, chunk_fail in reader:
-        fail.extend(chunk_fail)
-        if not stacks:
-            continue
-        batch, b = pad_put(np.stack(stacks, axis=0), sharding, n_dev)
-        degraded_dev, experts_dev = fn(batch)
+    def _writeback(valid, b, degraded_dev, experts_dev):
+        # sync batch k after batch k+1 was dispatched: device compute +
+        # D2H overlap the host-side file copies and .nc writes
         degraded = np.asarray(degraded_dev)[:b]
         experts = np.asarray(experts_dev)[:b]
         for path, lr, expert in zip(valid, degraded, experts):
@@ -183,6 +180,32 @@ def apply_kernel_to_folder(
                 ok.append(out_path)
             except Exception as e:
                 fail.append((path, str(e)))
+
+    pending = None
+    for valid, stacks, chunk_fail in reader:
+        fail.extend(chunk_fail)
+        if not stacks:
+            continue
+        # group the chunk by shape: one mixed-size file must fail (or run
+        # in its own group), not crash the whole run at np.stack
+        groups: dict = {}
+        for p, s in zip(valid, stacks):
+            groups.setdefault(s.shape, []).append((p, s))
+        for items in groups.values():
+            paths = [p for p, _ in items]
+            try:
+                batch, b = pad_put(
+                    np.stack([s for _, s in items]), sharding, n_dev
+                )
+                degraded_dev, experts_dev = fn(batch)
+            except Exception as e:  # per-group failure isolation
+                fail.extend((p, f"{type(e).__name__}: {e}") for p in paths)
+                continue
+            if pending is not None:
+                _writeback(*pending)
+            pending = (paths, b, degraded_dev, experts_dev)
+    if pending is not None:
+        _writeback(*pending)
     report = RunReport(succeeded=ok, failed=fail, seconds=time.time() - t0)
     print(f"apply_kernel: {report.summary()} -> {output_dir}")
     return report

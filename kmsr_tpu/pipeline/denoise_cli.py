@@ -106,7 +106,7 @@ def batch_denoise(
     files = list_patch_files(input_dir, pattern)
 
     if use_device and device_batch > 1:
-        from ..ops.nlm import denoise_batch
+        from ..ops.nlm import denoise_batch_dispatch, denoise_batch_finalize
         from .common import RunReport
         import time
 
@@ -120,6 +120,37 @@ def batch_denoise(
                 iterator = tqdm(iterator, desc="denoising", unit="chunk")
             except ImportError:
                 pass
+
+        def _writeback(uniform, odd, handle):
+            # finalize blocks on chunk k's sweep AFTER chunk k+1 was
+            # dispatched: the 529-shift device sweep overlaps the host's
+            # zlib .nc writes and per-file fallbacks (one-deep pipeline)
+            if handle is not None:
+                try:
+                    den, sig = denoise_batch_finalize(handle)
+                    for (path, stack), d, s in zip(uniform, den, sig):
+                        try:
+                            ok.append(
+                                _write_denoised(
+                                    path, output_dir, stack, d,
+                                    list(map(float, s)), h_factor,
+                                    verbose=False,
+                                )
+                            )
+                        except Exception as e:
+                            fail.append((path, str(e)))
+                except Exception:
+                    odd = uniform + odd  # sweep failed: per-file fallback
+            for path, _stack in odd:
+                try:
+                    ok.append(
+                        process_nc_file(path, output_dir, h_factor=h_factor,
+                                        verbose=False)
+                    )
+                except Exception as e:
+                    fail.append((path, str(e)))
+
+        pending = None
         for start in iterator:
             chunk = files[start : start + device_batch]
             stacks, valid_paths = [], []
@@ -136,29 +167,18 @@ def batch_denoise(
                 (p, s) for p, s in zip(valid_paths, stacks) if s.shape == shape0
             ]
             odd = [(p, s) for p, s in zip(valid_paths, stacks) if s.shape != shape0]
+            handle = None
             try:
                 batch = np.stack([s for _, s in uniform])
-                den, sig = denoise_batch(batch, h_factor=h_factor)
-                for (path, stack), d, s in zip(uniform, den, sig):
-                    try:
-                        ok.append(
-                            _write_denoised(
-                                path, output_dir, stack, d, list(map(float, s)),
-                                h_factor, verbose=False,
-                            )
-                        )
-                    except Exception as e:
-                        fail.append((path, str(e)))
+                handle = denoise_batch_dispatch(batch, h_factor=h_factor)
             except Exception:
-                odd = uniform + odd  # batched sweep failed: per-file fallback
-            for path, _stack in odd:
-                try:
-                    ok.append(
-                        process_nc_file(path, output_dir, h_factor=h_factor,
-                                        verbose=False)
-                    )
-                except Exception as e:
-                    fail.append((path, str(e)))
+                odd = uniform + odd  # dispatch failed: per-file fallback
+                uniform = []
+            if pending is not None:
+                _writeback(*pending)
+            pending = (uniform, odd, handle)
+        if pending is not None:
+            _writeback(*pending)
         report = RunReport(succeeded=ok, failed=fail, seconds=time.time() - t0)
         print(f"denoise: {report.summary()} -> {output_dir}")
         return report

@@ -254,3 +254,32 @@ def test_enable_persistent_cache(tmp_path, monkeypatch):
         )
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_apply_kernel_mixed_shape_chunks(tmp_path, rng):
+    """Files of different sizes sharing one read-chunk must each degrade
+    (per-shape groups), not crash the run at np.stack."""
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, hw in enumerate([32, 48, 32]):
+        write_band_stack(
+            src / f"f{i}.nc", GROUP_GEO,
+            rng.normal(3, 0.3, (5, hw, hw)).astype(np.float32), mode="w",
+        )
+    k = rng.uniform(0, 1, (5, 13, 13)).astype(np.float32)
+    kpath = tmp_path / "k.npy"
+    np.save(kpath, k / k.sum((1, 2), keepdims=True))
+
+    from kmsr_tpu.pipeline.apply_kernel import main as apply_main
+
+    out = tmp_path / "out"
+    rc = apply_main([
+        "--input-dir", str(src), "--kernel", str(kpath),
+        "--output-dir", str(out), "--factor", "8",
+        "--in-group", GROUP_GEO, "--batch-size", "3",
+    ])
+    assert rc == 0
+    from kmsr_tpu.io import read_band_stack as rbs
+
+    shapes = sorted(rbs(p, "blurred").shape for p in sorted(out.glob("*.nc")))
+    assert shapes == [(5, 4, 4), (5, 4, 4), (5, 6, 6)]
