@@ -67,12 +67,10 @@ def sr_infer_folder(
             )
         except ImportError:
             pass
-    for valid, stacks, chunk_fail in reader:
-        fail.extend(chunk_fail)
-        if not stacks:
-            continue
-        batch, b = pad_put(np.stack(stacks, axis=0), sharding, n_dev)
-        preds = np.asarray(fwd(params, batch))[:b]
+    def _writeback(valid, b, preds_dev):
+        # sync batch k after batch k+1 was dispatched: the SR forward +
+        # D2H overlap host file copies, .nc writes and PSNR/SSIM evals
+        preds = np.asarray(preds_dev)[:b]
         for path, pred in zip(valid, preds):
             try:
                 base = os.path.splitext(os.path.basename(path))[0]
@@ -97,6 +95,31 @@ def sr_infer_folder(
                 ok.append(out_path)
             except Exception as e:
                 fail.append((path, str(e)))
+
+    pending = None
+    for valid, stacks, chunk_fail in reader:
+        fail.extend(chunk_fail)
+        if not stacks:
+            continue
+        # per-shape groups: mixed-size inputs must not kill the run
+        groups: dict = {}
+        for p, s in zip(valid, stacks):
+            groups.setdefault(s.shape, []).append((p, s))
+        for items in groups.values():
+            paths = [p for p, _ in items]
+            try:
+                batch, b = pad_put(
+                    np.stack([s for _, s in items]), sharding, n_dev
+                )
+                preds_dev = fwd(params, batch)
+            except Exception as e:  # per-group failure isolation
+                fail.extend((p, f"{type(e).__name__}: {e}") for p in paths)
+                continue
+            if pending is not None:
+                _writeback(*pending)
+            pending = (paths, b, preds_dev)
+    if pending is not None:
+        _writeback(*pending)
     report = RunReport(succeeded=ok, failed=fail, seconds=time.time() - t0)
     msg = f"sr_infer: {report.summary()} -> {output_dir}"
     if metrics:
