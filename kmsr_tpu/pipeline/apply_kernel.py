@@ -153,9 +153,16 @@ def apply_kernel_to_folder(
 
     def _writeback(valid, b, degraded_dev, experts_dev):
         # sync batch k after batch k+1 was dispatched: device compute +
-        # D2H overlap the host-side file copies and .nc writes
-        degraded = np.asarray(degraded_dev)[:b]
-        experts = np.asarray(experts_dev)[:b]
+        # D2H overlap the host-side file copies and .nc writes. JAX
+        # dispatch is async, so a device-side runtime failure surfaces
+        # HERE (not at fn(batch)) — catch it and fail this group's files
+        # instead of crashing the whole run.
+        try:
+            degraded = np.asarray(degraded_dev)[:b]
+            experts = np.asarray(experts_dev)[:b]
+        except Exception as e:  # per-group failure isolation
+            fail.extend((p, f"{type(e).__name__}: {e}") for p in valid)
+            return
         for path, lr, expert in zip(valid, degraded, experts):
             try:
                 base = os.path.splitext(os.path.basename(path))[0]

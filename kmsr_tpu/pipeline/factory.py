@@ -369,8 +369,14 @@ def run_factory(
         def _writeback(paths, nat, b, lr_dev):
             # np.asarray is the sync point — materializing batch k here,
             # after batch k+1 was dispatched, overlaps device compute +
-            # D2H with the host-side zlib .nc writes (one-deep pipeline)
-            lr_batch = np.transpose(np.asarray(lr_dev), (3, 0, 1, 2))[:b]
+            # D2H with the host-side zlib .nc writes (one-deep pipeline).
+            # Async dispatch also means device-side runtime failures
+            # surface here — fail the batch's files, don't crash the run.
+            try:
+                lr_batch = np.transpose(np.asarray(lr_dev), (3, 0, 1, 2))[:b]
+            except Exception as e:  # per-batch failure isolation
+                fail.extend((p, f"{type(e).__name__}: {e}") for p in paths)
+                return
             for path, hr, lr in zip(paths, nat, lr_batch):
                 try:
                     base = os.path.splitext(os.path.basename(path))[0]
@@ -438,9 +444,15 @@ def run_factory(
             pass
     def _writeback(valid, hr_batch, lr_dev, experts_dev):
         # np.asarray syncs batch k AFTER batch k+1 was dispatched: device
-        # compute + D2H overlap the host-side nav reads and zlib .nc writes
-        lr_batch = np.asarray(lr_dev)
-        experts = np.asarray(experts_dev)
+        # compute + D2H overlap the host-side nav reads and zlib .nc
+        # writes. Device-side runtime failures surface at this sync (async
+        # dispatch) — fail this batch's files, don't crash the run.
+        try:
+            lr_batch = np.asarray(lr_dev)
+            experts = np.asarray(experts_dev)
+        except Exception as e:  # per-batch failure isolation
+            fail.extend((p, f"{type(e).__name__}: {e}") for p in valid)
+            return
         for path, hr, lr, expert in zip(valid, hr_batch, lr_batch, experts):
             try:
                 base = os.path.splitext(os.path.basename(path))[0]

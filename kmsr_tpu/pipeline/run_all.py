@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import argparse
 import copy
+import hashlib
 import json
 import os
 import time
@@ -112,22 +113,45 @@ def _marker_path(work: str, stage: str) -> str:
     return os.path.join(work, ".stages", f"{stage}.json")
 
 
-def _stage_done(work: str, stage: str, argv: list[str]) -> bool:
-    """True when a completion marker exists AND was written for the same
-    stage argv — a config change invalidates the marker, so --resume never
-    silently serves stale outputs."""
+def _load_marker(work: str, stage: str) -> dict | None:
     try:
         with open(_marker_path(work, stage), encoding="utf-8") as f:
-            return json.load(f).get("argv") == argv
+            return json.load(f)
     except (OSError, ValueError):
-        return False
+        return None
 
 
-def _mark_done(work: str, stage: str, argv: list[str], seconds: float) -> None:
+def _stage_done(work: str, stage: str, argv: list[str],
+                upstream: dict[str, str]) -> bool:
+    """True when a completion marker exists AND was written for the same
+    stage argv AND against the same upstream marker chain. Each marker
+    records a fresh unique `key` plus the keys of every stage before it
+    (make-style Merkle chain): if ANY upstream stage re-executes — because
+    its config changed, its marker was deleted, or a partial --only run
+    re-made it — its key changes, every downstream marker's recorded
+    `upstream` no longer matches, and --resume re-runs from there instead
+    of silently serving outputs computed from old upstream data."""
+    m = _load_marker(work, stage)
+    return (
+        m is not None
+        and m.get("argv") == argv
+        and m.get("upstream") == upstream
+    )
+
+
+def _mark_done(work: str, stage: str, argv: list[str], seconds: float,
+               upstream: dict[str, str]) -> str:
+    """Write the completion marker; returns its unique key (fed into the
+    `upstream` chain of every later stage's marker)."""
+    key = hashlib.sha256(
+        json.dumps([stage, argv, upstream, time.time_ns()]).encode()
+    ).hexdigest()[:16]
     path = _marker_path(work, stage)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
-        json.dump({"stage": stage, "argv": argv, "seconds": seconds}, f)
+        json.dump({"stage": stage, "argv": argv, "seconds": seconds,
+                   "key": key, "upstream": upstream}, f)
+    return key
 
 
 def run_pipeline(config: dict, from_stage: str | None = None,
@@ -298,20 +322,34 @@ def run_pipeline(config: dict, from_stage: str | None = None,
 
     timings: dict[str, float] = {}
     started = from_stage is None
+    # Upstream marker-key chain for this walk (see _stage_done): stages
+    # excluded from this invocation contribute their on-disk key (if any),
+    # so a later full --resume only trusts downstream markers whose
+    # recorded chain still matches what is actually on disk.
+    upstream: dict[str, str] = {}
+
+    def _chain_from_disk(name: str) -> None:
+        m = _load_marker(work, name)
+        if m and m.get("key"):
+            upstream[name] = m["key"]
+
     for name, fn, argv in stage_list():
         if not started:
             if name == from_stage:
                 started = True
             else:
                 print(f"[run_all] {name}: skipped (--from-stage)")
+                _chain_from_disk(name)
                 continue
         if only is not None and name not in only:
+            _chain_from_disk(name)
             continue
         if not enabled[name]:
             print(f"[run_all] {name}: disabled")
             continue
-        if resume and _stage_done(work, name, argv):
+        if resume and _stage_done(work, name, argv, upstream):
             print(f"[run_all] {name}: skipped (--resume, already complete)")
+            _chain_from_disk(name)
             continue
         print(f"[run_all] {name}: {' '.join(argv)}")
         t0 = time.time()
@@ -319,7 +357,7 @@ def run_pipeline(config: dict, from_stage: str | None = None,
         timings[name] = time.time() - t0
         if rc not in (0, None):
             raise RuntimeError(f"stage '{name}' failed with exit code {rc}")
-        _mark_done(work, name, argv, timings[name])
+        upstream[name] = _mark_done(work, name, argv, timings[name], upstream)
         print(f"[run_all] {name}: done in {timings[name]:.1f}s")
     total = sum(timings.values())
     print(f"[run_all] pipeline complete: {len(timings)} stages, {total:.1f}s")

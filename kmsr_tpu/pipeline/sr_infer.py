@@ -69,8 +69,14 @@ def sr_infer_folder(
             pass
     def _writeback(valid, b, preds_dev):
         # sync batch k after batch k+1 was dispatched: the SR forward +
-        # D2H overlap host file copies, .nc writes and PSNR/SSIM evals
-        preds = np.asarray(preds_dev)[:b]
+        # D2H overlap host file copies, .nc writes and PSNR/SSIM evals.
+        # Async dispatch means device-side runtime failures surface at
+        # this materialization — fail the group, don't crash the run.
+        try:
+            preds = np.asarray(preds_dev)[:b]
+        except Exception as e:  # per-group failure isolation
+            fail.extend((p, f"{type(e).__name__}: {e}") for p in valid)
+            return
         for path, pred in zip(valid, preds):
             try:
                 base = os.path.splitext(os.path.basename(path))[0]

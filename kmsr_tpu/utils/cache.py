@@ -40,6 +40,11 @@ def enable_persistent_cache(
         os.makedirs(cache_dir, exist_ok=True)
     except OSError:
         return None
+    # makedirs(exist_ok=True) succeeds on an existing read-only directory;
+    # verify writability so an unwritable dir cleanly disables the cache
+    # instead of emitting a JAX cache-write warning on every compile.
+    if not os.access(cache_dir, os.W_OK):
+        return None
 
     import jax
 

@@ -186,3 +186,28 @@ def test_run_all_resume_markers(tmp_path, scenes):
     cfg["stages"]["cut"]["patch_size"] = 16
     t4 = run_pipeline(cfg, only=["cut"], resume=True)
     assert list(t4) == ["cut"]
+
+
+@pytest.mark.slow
+def test_run_all_resume_downstream_invalidation(tmp_path, scenes):
+    """When an upstream stage re-executes, --resume must NOT serve
+    downstream outputs computed from the old upstream data: each marker
+    records the keys of every upstream marker (make-style chain), so a
+    re-made upstream marker invalidates all later ones even though their
+    own argv (workdir-derived paths) is unchanged."""
+    cfg = tiny_config(tmp_path, scenes)
+    t1 = run_pipeline(cfg, only=["cut", "denoise"], resume=True)
+    assert list(t1) == ["cut", "denoise"]
+    t2 = run_pipeline(cfg, only=["cut", "denoise"], resume=True)
+    assert t2 == {}
+    # upstream config change: cut re-runs AND denoise re-runs although
+    # denoise's own argv is identical
+    cfg["stages"]["cut"]["stride_ratio"] = 0.5
+    t3 = run_pipeline(cfg, only=["cut", "denoise"], resume=True)
+    assert list(t3) == ["cut", "denoise"]
+    # a partial --only re-run of an upstream stage also invalidates:
+    # cut's fresh marker is itself valid, but denoise's recorded chain
+    # points at the old cut key
+    run_pipeline(cfg, only=["cut"])
+    t4 = run_pipeline(cfg, only=["cut", "denoise"], resume=True)
+    assert list(t4) == ["denoise"]
