@@ -1,9 +1,29 @@
 """Robust noise-sigma estimation (wavelet-detail MAD).
 
 Semantics follow skimage's `estimate_sigma` (used by the reference at
-`denoise/denoise.py:47`): a single-level 2-D Daubechies-2 DWT, take the
-diagonal (HH) detail subband, and estimate
-    sigma = median(|HH|) / 0.67448975   (Gaussian MAD constant).
+`denoise/denoise.py:47`): a single-level 2-D Daubechies-2 DWT in
+PyWavelets' convention, take the diagonal (HH/'dd') detail subband, drop
+exact-zero coefficients (skimage filters `detail_coeffs[np.nonzero(...)]`
+— load-bearing on NaN-filled scenes, where constant filled regions emit
+exact zeros that would otherwise bias the median low), and estimate
+    sigma = median(|HH|) / 0.67448975   (1 / norm.ppf(0.75)).
+
+DWT convention, pinned to pywt's `downsampling_convolution` with the
+default mode='symmetric' (half-sample symmetric extension, edge sample
+duplicated): output sample o is the convolution of the extended signal
+with the decomposition filter evaluated at position 2o+1,
+    out[o] = sum_j filt[j] * x_ext[2o + 1 - j],
+length floor((N + F - 1)/2). The spelling below — np.pad(symmetric) by
+F-1, VALID np.convolve, take [1::2] — is algebraically identical:
+valid[m] = sum_j filt[j] * x_ext[m - j], and m = 2o+1 gives exactly the
+pywt samples with the same count. Verified against the independently
+spelled twin in tests/helpers/skimage_twin.py (explicit per-tap gather).
+
+Divergence (documented): on an image whose HH subband is identically
+zero (exactly constant input) skimage returns NaN (median of an empty
+array), which would poison h = h_factor * sigma and the whole denoised
+band; this implementation returns 0.0 — h becomes 0 and NLM degrades to
+a near-identity, which is the only sane answer for a constant band.
 
 Since the HH filter pair is orthonormal, the estimate is unbiased on
 white Gaussian noise and near-zero on smooth images — the two properties
@@ -46,6 +66,9 @@ def hh_subband_np(img: np.ndarray) -> np.ndarray:
 def estimate_sigma_np(img: np.ndarray) -> float:
     """Host-side sigma estimate; NaNs must be filled by the caller."""
     hh = hh_subband_np(img)
+    hh = hh[hh != 0]  # skimage drops exact zeros before the median
+    if hh.size == 0:
+        return 0.0  # constant image (skimage: NaN — see module docstring)
     return float(np.median(np.abs(hh)) * _MAD_TO_SIGMA)
 
 
@@ -70,4 +93,8 @@ def estimate_sigma(img: jax.Array) -> jax.Array:
     img = jnp.asarray(img, jnp.float32)
     d = _dwt_rows_jax(img, jnp.asarray(_DB2_HI, jnp.float32))
     d = _dwt_rows_jax(d.T, jnp.asarray(_DB2_HI, jnp.float32)).T
-    return jnp.median(jnp.abs(d)) * _MAD_TO_SIGMA
+    # zero-drop under jit: exact zeros -> NaN, nanmedian over the rest;
+    # all-zero subband (constant image) -> 0.0
+    nz = d != 0.0
+    sig = jnp.nanmedian(jnp.where(nz, jnp.abs(d), jnp.nan)) * _MAD_TO_SIGMA
+    return jnp.where(jnp.any(nz), sig, 0.0)

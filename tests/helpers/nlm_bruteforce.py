@@ -8,7 +8,11 @@ per-pixel transliteration of the NLM definition with explicit patch
 extraction — no integral images, no shift lattice — matching the
 reference's skimage fast-mode semantics (`/root/reference/denoise/
 denoise.py:55-63`): uniform patch weighting over patch_size^2 pixels,
-weight w = exp(-max(mean_sq_diff - 2*sigma^2, 0) / h^2), reflect padding.
+weight w = exp(-max(mean_sq_diff - 2*sigma^2, 0) / h^2), patch windows
+over an offset-wide reflect ring, candidate centers restricted to
+in-image pixels (skimage clamps its shift loops at borders), and the
+null shift double-counted (self-weight 2, from skimage's symmetric-pair
+accumulation).
 
 O(N * S^2 * P^2): keep test images tiny.
 """
@@ -36,10 +40,14 @@ def nlm_bruteforce(
         for j in range(wid):
             pi, pj = i + pad, j + pad
             ref = up[pi - o : pi + o + 1, pj - o : pj + o + 1]
-            num = 0.0
-            den = 0.0
+            # extra null-shift contribution: skimage's symmetric pair
+            # accumulation counts the center twice (weight exp(0) = 1)
+            num = float(up[pi, pj])
+            den = 1.0
             for t1 in range(-patch_distance, patch_distance + 1):
                 for t2 in range(-patch_distance, patch_distance + 1):
+                    if not (0 <= i + t1 < hgt and 0 <= j + t2 < wid):
+                        continue  # candidate center outside the image
                     cand = up[
                         pi + t1 - o : pi + t1 + o + 1,
                         pj + t2 - o : pj + t2 + o + 1,
