@@ -1,11 +1,22 @@
 """Headline benchmark: degraded 64x64 training patches / sec / chip.
 
 Measures the fused degrade path (13x13 per-band blur + replicate pad +
-x8 downsample, the data-factory hot op) on device-resident batches.
+downsample, the data-factory hot op) on device-resident batches.
 Baseline target: 50,000 patches/s/chip on TPU v5e (BASELINE.md).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line. `value` is the headline (factor-8 natural-layout
+median); measurement hygiene fields (VERDICT r2 item 4):
+  spread          min/max of the k=5 headline timing windows — tunnel/
+                  host throughput drifts ~15% across hours (NOTES_r2),
+                  so cross-round deltas inside the spread are noise
+  modes.natural   self-contained v3 kernel on raw CHWB batches (headline)
+  modes.presplit  permutation-free kernel on the loader's pre-phase-split
+                  layout (the `factory --input-format npy` production
+                  route — the split is host-side, outside the device work)
+  modes.factor4   the MoE route's x4 decimation (span 16 > 3*4: extended
+                  |q|<=2 tap lattice; `train_gemini.py:134`), vs its own
+                  VPU fma roof of ~3.4M patches/s
+Each mode reports {median, min, max} patches/s over k windows.
 """
 from __future__ import annotations
 
@@ -18,6 +29,28 @@ import numpy as np
 
 
 BASELINE_PATCHES_PER_SEC = 50_000.0
+WINDOWS = 5
+ITERS = 50
+
+
+def _measure(fn, x, kernel, batch, drain):
+    drain(fn(x, kernel))  # compile
+    for _ in range(3):
+        out = fn(x, kernel)
+    drain(out)  # warm queue
+    windows = []
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(x, kernel)
+        drain(out)  # device queue is in-order: fences all prior launches
+        windows.append(time.perf_counter() - t0)
+    rates = sorted(batch * ITERS / w for w in windows)
+    return {
+        "median": round(rates[len(rates) // 2], 1),
+        "min": round(rates[0], 1),
+        "max": round(rates[-1], 1),
+    }
 
 
 def main() -> int:
@@ -29,17 +62,16 @@ def main() -> int:
     enable_persistent_cache()  # tunnel first-compiles cost 200-390s cold
 
     batch = 8192
-    iters = 50
     rng = np.random.default_rng(0)
     kernel = jnp.asarray(rng.uniform(0, 1, (5, 13, 13)).astype(np.float32))
 
+    def drain(o):
+        # Under the remote-tunnel backend, block_until_ready does not
+        # round-trip; a scalar readback is the only reliable fence.
+        return float(jnp.sum(o))
+
     use_pallas = jax.default_backend() == "tpu"
-    # 'presplit' measures the permutation-free kernel on the loader's
-    # pre-phase-split layout (the `factory --input-format npy` production
-    # route, where the host assembles the layout for free — the split is
-    # therefore outside the timed device work); 'natural' measures the
-    # self-contained v3 kernel on raw CHWB batches.
-    mode = os.environ.get("KMSR_BENCH_MODE", "natural")
+    modes: dict = {}
     if use_pallas:
         from kmsr_tpu.ops.degrade_pallas import (
             degrade_pallas_chwb,
@@ -50,20 +82,23 @@ def main() -> int:
         x = jnp.asarray(
             rng.normal(5.0, 2.0, (5, 64, 64, batch)).astype(np.float32)
         )
-        if mode == "presplit":
-            # halo-free layout: natural byte count, measured faster than
-            # both the baked-halo presplit and natural v3 on chip
-            x = jax.jit(lambda a: phase_split_chwb(a, 8, halo=False))(x)
-            fn = jax.jit(lambda a, k: degrade_pallas_presplit(
-                a, k, factor=8, baked_halo=False))
-        else:
-            # pad-free fused Mosaic kernel on the factory CHWB layout
-            # (batch in lanes) — ~4.8M patches/s on one v5e
-            fn = jax.jit(lambda a, k: degrade_pallas_chwb(a, k, factor=8))
         try:
-            jnp.sum(fn(x, kernel)).block_until_ready()
+            # headline: pad-free fused Mosaic kernel on the factory CHWB
+            # layout (batch in lanes)
+            nat = jax.jit(lambda a, k: degrade_pallas_chwb(a, k, factor=8))
+            modes["natural"] = _measure(nat, x, kernel, batch, drain)
+            # halo-free presplit: natural byte count, layout assembled by
+            # the native loader for free on the npy factory route
+            xs = jax.jit(lambda a: phase_split_chwb(a, 8, halo=False))(x)
+            ps = jax.jit(lambda a, k: degrade_pallas_presplit(
+                a, k, factor=8, baked_halo=False))
+            modes["presplit"] = _measure(ps, xs, kernel, batch, drain)
+            # factor-4 (MoE decimation): wide-span extended lattice
+            f4 = jax.jit(lambda a, k: degrade_pallas_chwb(
+                a, k, factor=4, version=3))
+            modes["factor4"] = _measure(f4, x, kernel, batch, drain)
         except Exception as e:  # Mosaic unavailable -> still record a number
-            print(f"pallas path failed ({type(e).__name__}); "
+            print(f"pallas path failed ({type(e).__name__}: {e}); "
                   "falling back to XLA", file=sys.stderr)
             use_pallas = False
     if not use_pallas:
@@ -74,37 +109,20 @@ def main() -> int:
             rng.normal(5.0, 2.0, (batch, 5, 64, 64)).astype(np.float32)
         )
         fn = jax.jit(lambda a, k: degrade_fused(a, k, factor=8))
+        modes["natural"] = _measure(fn, x, kernel, batch, drain)
 
-    def drain(o):
-        # Under the remote-tunnel backend, block_until_ready does not
-        # round-trip; a scalar readback is the only reliable fence.
-        return float(jnp.sum(o))
-
-    drain(fn(x, kernel))  # compile
-    for _ in range(3):
-        out = fn(x, kernel)
-    drain(out)  # warm queue
-
-    # Median of several timing windows: tunnel/host throughput drifts by
-    # ~15% across hours and single windows catch transient stalls; the
-    # median window is the robust sustained-throughput estimate.
-    windows = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(x, kernel)
-        drain(out)  # device queue is in-order: fences all prior launches
-        windows.append(time.perf_counter() - t0)
-    dt = sorted(windows)[len(windows) // 2]
-
-    patches_per_sec = batch * iters / dt
+    head = modes["natural"]
     print(
         json.dumps(
             {
                 "metric": "degraded_64px_patches_per_sec_per_chip",
-                "value": round(patches_per_sec, 1),
+                "value": head["median"],
                 "unit": "patches/s",
-                "vs_baseline": round(patches_per_sec / BASELINE_PATCHES_PER_SEC, 3),
+                "vs_baseline": round(head["median"] / BASELINE_PATCHES_PER_SEC, 3),
+                "spread": {"min": head["min"], "max": head["max"]},
+                "windows": WINDOWS,
+                "iters_per_window": ITERS,
+                "modes": modes,
             }
         )
     )

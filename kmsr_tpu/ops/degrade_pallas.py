@@ -18,27 +18,29 @@ Four generations, selectable via `version` (None = auto):
   edge-mode pad alone runs at ~3x a pure copy (sublane-hostile W+2*pad
   extents) and dominates end-to-end time. v1 additionally re-streams
   the input f times (row phase on the grid); v2 reads it once.
-- v4 (default for spans > 3*factor where v3 is unavailable): the WHOLE
-  stencil — permutation, clamped replicate padding, every composed
-  tap — folded into one dense [out_h*out_w, h*w] matrix per channel and
-  applied as magnitude-pruned 3-term bf16-split MXU matmuls (6 passes
-  f32 / 3 passes bf16 input; `_stencil_matrix`, `_degrade_kernel_v4`).
-  Dense wastes ~10x the sparse FLOPs but rides the MXU: 2.75x v2 at
-  factor 4 with the exact 6-pass spelling (1.26 vs 0.46M patches/s on
-  chip; the earlier 3-pass 2-term spelling measured 3.3x but 1.2e-3
-  max rel — contraction-amplified split residual), 1.60M on bf16-stored
-  input (3 passes). Measured SLOWER than v3's VPU lattice where both
-  apply (2.95 vs 3.26M at factor 8) — v3 stays the narrow-span default.
-- v3 (default when the composed span fits 3*factor): fully fused —
+- v4 (default only for spans > 5*factor where the lattice is
+  unavailable): the WHOLE stencil — permutation, clamped replicate
+  padding, every composed tap — folded into one dense
+  [out_h*out_w, h*w] matrix per channel and applied as
+  magnitude-pruned 3-term bf16-split MXU matmuls (6 passes f32 / 3
+  passes bf16 input; `_stencil_matrix`, `_degrade_kernel_v4`). Dense
+  wastes ~10x the sparse FLOPs but rides the MXU: 2.75x v2 at factor 4
+  (1.25 vs 0.46M patches/s on chip; a 5-pass x-2-term spelling adds
+  only ~5% — the path is not pass-bound). Measured SLOWER than v3's
+  VPU lattice everywhere both apply (1.25 vs 2.89M at factor 4, 2.95
+  vs 3.26M at factor 8) — kept as the any-span fallback.
+- v3 (default when the composed span fits 5*factor): fully fused —
   consumes the RAW unpadded block, performs the column phase split
   in-kernel as MXU matmuls with a [W, W] permutation matrix, realizes
-  replicate padding as statically clamped tap indices, and vectorizes
-  taps over all output rows. The input crosses HBM exactly once in its
-  natural layout. The permutation matmul runs as 3 single-pass matmuls
-  over exact bf16 term splits of the f32 rows (`_permute_row`) instead
-  of one 6-pass HIGHEST matmul: 4.84M degraded 64^2 patches/s/chip on
-  v5e (+23% over HIGHEST; 97x the 50k/s target), and the fused-noise
-  variant rides the same pass.
+  replicate padding as statically clamped tap indices (|q| <= 2 block
+  overhang for spans in (3f, 5f], e.g. the MoE factor-4 route's span
+  16: 2.89M patches/s, ~86% of the dense lattice's 3.36M VPU fma
+  roof), and vectorizes taps over all output rows. The input crosses
+  HBM exactly once in its natural layout. The permutation matmul runs
+  as 3 single-pass matmuls over exact bf16 term splits of the f32 rows
+  (`_permute_row`) instead of one 6-pass HIGHEST matmul: 4.84M degraded
+  64^2 patches/s/chip on v5e (+23% over HIGHEST; 97x the 50k/s
+  target), and the fused-noise variant rides the same pass.
 
 `degrade_pallas` wraps the kernel with the NCHW<->CHWB transposes;
 `degrade_pallas_chwb` is the zero-transpose production path for
@@ -187,17 +189,51 @@ def _permute_row(p_mat, x_row, perm_mode: str):
     return out
 
 
+def _col_halo(ksize: int, factor: int) -> int:
+    """Column/row block over-reach of the composed stencil: the halo
+    depth m such that every tap's block offset q (columns) / q0 (rows)
+    satisfies |q| <= m. m = 1 for spans <= 3*factor (the factor-8
+    production case, span 20 <= 24), m = 2 for spans <= 5*factor (the
+    MoE factor-4 route, span 16 <= 20: `muti_kernel/train_gemini.py:134`
+    decimates by 4, so the 13-tap blur composes to span 16 > 3*4)."""
+    half = (ksize - factor) // 2
+    return max(
+        (half + factor - 1) // factor, (ksize - 1 - half) // factor, 1
+    )
+
+
+def _shift_cols(base, left, right, q: int, out_w: int):
+    """Column tap at block offset q with replicate clamping: overhang
+    columns (|q| deep at the edges) all clamp to image col 0 / W-1 —
+    x_col = f*(j+q) + r < 0 clamps to 0 for every overhang j."""
+    if q == 0:
+        return base
+    if q < 0:
+        return jnp.concatenate([*([left] * -q), base[:, : out_w + q]], axis=1)
+    return jnp.concatenate([base[:, q:], *([right] * q)], axis=1)
+
+
 def _tap_lattice(rows_of, k_ref, k_base, *, factor: int, ksize: int,
                  w: int, out_h: int, out_w: int, bt: int):
     """The composed-stencil VPU fma lattice shared by v3 and the
     pre-split variant. `rows_of(p, q0)` returns the [out_h, W, Bt] slab
     of phase-`p` rows starting at row-block q0 (with the replicate halo
-    at each end already materialized by the caller's layout).
+    at each end already materialized by the caller's layout, m =
+    `_col_halo` rows deep).
 
     Vectorizes over output ROWS: every (dy, dx) tap is ONE fma over the
     whole [out_h, out_w, Bt] output tile. Fully static addressing (a
     fori_loop over dy with dynamic row loads measured 2.2x slower; a
     per-(i,dy,dx) unroll matched this speed but compiled 5x slower).
+
+    Column taps at block offset q != 0 materialize their clamped edge
+    columns with a concat. A padded-column variant (each phase block
+    stored out_w + 2m wide with the clamped edge columns BAKED so every
+    tap is a single static slice) was tried and REJECTED: the
+    arbitrary-offset sublane slices it needs measured ~27% SLOWER than
+    the aligned-base concats at f=4 (2.10 vs 2.89M patches/s) and
+    dragged f=8 to 3.16M — Mosaic handles aligned block reads + small
+    copies better than unaligned windows.
     """
     half = (ksize - factor) // 2  # blur half-width (composed kernel)
     acc = jnp.zeros((out_h, out_w, bt), jnp.float32)
@@ -209,18 +245,8 @@ def _tap_lattice(rows_of, k_ref, k_base, *, factor: int, ksize: int,
         for dx in range(ksize):
             q, r = divmod(dx - half, factor)
             kval = k_ref[0, k_base + dy * ksize + dx]
-            base = stacked[:, r * out_w : (r + 1) * out_w]  # [out_h,out_w,bt]
-            if q == 0:
-                shifted = base
-            elif q == -1:
-                shifted = jnp.concatenate([left, base[:, : out_w - 1]], axis=1)
-            elif q == 1:
-                shifted = jnp.concatenate([base[:, 1:], right], axis=1)
-            else:
-                raise NotImplementedError(
-                    f"kernel span {ksize} > 3*factor {factor}"
-                )
-            acc = acc + kval * shifted
+            base = stacked[:, r * out_w : (r + 1) * out_w]
+            acc = acc + kval * _shift_cols(base, left, right, q, out_w)
     return acc
 
 
@@ -248,34 +274,39 @@ def _degrade_kernel_v3(
     The input crosses HBM exactly once with its natural layout.
     """
     bt = x_ref.shape[-1]
+    m = _col_halo(ksize, factor)
     # MXU pass per row: permute columns w -> (w % f) * out_w + (w // f).
     # A naive DEFAULT pass would round the image through bf16 (measured
     # 5e-3 abs err vs the 1e-3 factory parity budget); HIGHEST is exact
     # but pays 6 MXU passes. `_permute_row` cuts that to 2-3 exact
     # bf16-term passes (or 1 for bf16-stored inputs).
     p_mat = p_ref[...]
-    # The scratch is ROW-PHASE-SPLIT: xp_ref[p, 1 + y//f] holds permuted
-    # image row y (p = y % f), with one replicate halo row at each end of
-    # the j axis. Every tap dy then reads its out_h source rows (strided
-    # f apart in image space) as ONE contiguous [out_h, W, Bt] slice,
-    # replacing a per-dy jnp.stack of clamped rows (interleaved A/B:
-    # +2% — Mosaic scheduled the static stacks well, but the slice is
-    # free and the addressing simpler).
+    # The scratch is ROW-PHASE-SPLIT: xp_ref[p, m + y//f] holds permuted
+    # image row y (p = y % f), with m replicate halo rows at each end of
+    # the j axis (every overhang row clamps to image row 0 / h-1). Every
+    # tap dy then reads its out_h source rows (strided f apart in image
+    # space) as ONE contiguous [out_h, W', Bt] slice, replacing a per-dy
+    # jnp.stack of clamped rows (interleaved A/B: +2% — Mosaic scheduled
+    # the static stacks well, but the slice is free and the addressing
+    # simpler).
     for row in range(h):
         # bf16 input storage is consumed directly by the single-pass
         # permutation (upcast happens in the f32 accumulate; an
         # unconditional f32->f32 astype measured a 22% slowdown —
         # Mosaic emits a real copy for it, so gate dtype at trace time)
-        xp_ref[row % factor, 1 + row // factor] = _permute_row(
+        xp_ref[row % factor, m + row // factor] = _permute_row(
             p_mat, x_ref[0, row], perm_mode
         )
     for p in range(factor):
         # replicate halos: y < 0 clamps to image row 0, y > h-1 to h-1
-        xp_ref[p, 0] = xp_ref[0, 1]
-        xp_ref[p, out_h + 1] = xp_ref[(h - 1) % factor, 1 + (h - 1) // factor]
+        for hm in range(m):
+            xp_ref[p, hm] = xp_ref[0, m]
+            xp_ref[p, out_h + m + hm] = xp_ref[
+                (h - 1) % factor, m + (h - 1) // factor
+            ]
     k_base = pl.program_id(0) * ksize * ksize
     out_ref[0] = _tap_lattice(
-        lambda p, q0: xp_ref[p, q0 + 1 : q0 + 1 + out_h],
+        lambda p, q0: xp_ref[p, q0 + m : q0 + m + out_h],
         k_ref, k_base,
         factor=factor, ksize=ksize, w=w, out_h=out_h, out_w=out_w, bt=bt,
     )
@@ -303,9 +334,10 @@ def _degrade_kernel_v3ps(
     the f32 accumulator (no explicit astype — an unconditional copy
     measured a 22% slowdown, see NOTES_r2)."""
     bt = x_ref.shape[-1]
+    m = _col_halo(ksize, factor)
     k_base = pl.program_id(0) * ksize * ksize
     out_ref[0] = _tap_lattice(
-        lambda p, q0: x_ref[0, p, q0 + 1 : q0 + 1 + out_h],
+        lambda p, q0: x_ref[0, p, q0 + m : q0 + m + out_h],
         k_ref, k_base,
         factor=factor, ksize=ksize, w=w, out_h=out_h, out_w=out_w, bt=bt,
     )
@@ -352,31 +384,22 @@ def _degrade_kernel_v3psn(
             q, r = divmod(dx - half, factor)
             kval = k_ref[0, k_base + dy * ksize + dx]
             base = stacked[:, r * out_w : (r + 1) * out_w]
-            if q == 0:
-                shifted = base
-            elif q == -1:
-                shifted = jnp.concatenate([left, base[:, : out_w - 1]], axis=1)
-            elif q == 1:
-                shifted = jnp.concatenate([base[:, 1:], right], axis=1)
-            else:
-                raise NotImplementedError(
-                    f"kernel span {ksize} > 3*factor {factor}"
-                )
-            acc = acc + kval * shifted
+            acc = acc + kval * _shift_cols(base, left, right, q, out_w)
         return acc
 
     for dy in range(ksize):
         q0, p = divmod(dy - half, factor)
         plane = x_ref[0, p]  # [out_h, W, Bt]
+        # overhang rows all clamp to image row 0 / H-1 (|q0| deep)
         if q0 == 0:
             rows = plane
-        elif q0 == -1:
-            rows = jnp.concatenate([top_row, plane[: out_h - 1]], axis=0)
-        elif q0 == 1:
-            rows = jnp.concatenate([plane[1:], bot_row], axis=0)
+        elif q0 < 0:
+            rows = jnp.concatenate(
+                [*([top_row] * -q0), plane[: out_h + q0]], axis=0
+            )
         else:
-            raise NotImplementedError(
-                f"kernel span {ksize} > 3*factor {factor}"
+            rows = jnp.concatenate(
+                [plane[q0:], *([bot_row] * q0)], axis=0
             )
         acc = col_taps(acc, rows, dy)
     out_ref[0] = acc
@@ -387,13 +410,19 @@ def _degrade_noise_kernel_v3psn(x_ref, k_ref, n_ref, out_ref, **kw):
     out_ref[0] = out_ref[0] + n_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("factor", "halo"))
-def phase_split_chwb(x: jax.Array, factor: int = 8, halo: bool = True) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("factor", "halo", "halo_rows"))
+def phase_split_chwb(
+    x: jax.Array, factor: int = 8, halo: bool = True, halo_rows: int = 1
+) -> jax.Array:
     """[C, H, W, B] -> the pre-split degrade layout
-    [C, f, H/f + 2, W, B]: rows regrouped by row-phase p = y % f, columns
-    permuted to v = (x % f)*(W/f) + x//f (each column phase contiguous),
-    plus one replicate halo row per end (image rows 0 and H-1) so every
-    stride-f tap of the composed stencil is a contiguous slice.
+    [C, f, H/f + 2*halo_rows, W, B]: rows regrouped by row-phase
+    p = y % f, columns permuted to v = (x % f)*(W/f) + x//f (each column
+    phase contiguous), plus `halo_rows` replicate halo rows per end (all
+    clamping to image rows 0 / H-1) so every stride-f tap of the
+    composed stencil is a contiguous slice. halo_rows must be
+    `_col_halo(ksize, factor)` for the kernel span to be degraded
+    (1 for spans <= 3*factor, e.g. 13-tap blur at factor 8; 2 for the
+    factor-4 MoE route's span 16).
 
     halo=False drops the baked halo rows -> [C, f, H/f, W, B]: the SAME
     byte count as the natural CHWB layout (the baked rows cost
@@ -414,9 +443,10 @@ def phase_split_chwb(x: jax.Array, factor: int = 8, halo: bool = True) -> jax.Ar
     xp = jnp.transpose(xr, (0, 2, 1, 4, 3, 5)).reshape(c, factor, out_h, w, b)
     if not halo:
         return xp
-    top = jnp.broadcast_to(xp[:, 0:1, 0:1], (c, factor, 1, w, b))
+    top = jnp.broadcast_to(xp[:, 0:1, 0:1], (c, factor, halo_rows, w, b))
     bot = jnp.broadcast_to(
-        xp[:, factor - 1 : factor, out_h - 1 : out_h], (c, factor, 1, w, b)
+        xp[:, factor - 1 : factor, out_h - 1 : out_h],
+        (c, factor, halo_rows, w, b),
     )
     return jnp.concatenate([top, xp, bot], axis=2)
 
@@ -457,14 +487,13 @@ def degrade_pallas_presplit(
     c, f, hrows, w, b = xp.shape
     if f != factor:
         raise ValueError(f"xp phase dim {f} != factor {factor}")
-    out_h = hrows - 2 if baked_halo else hrows
     out_w = w // factor
     if w % factor:
         raise ValueError(f"W must be a multiple of factor: {(w, factor)}")
     if batch_tile is None:
         batch_tile = (
             2 * LANE
-            if (b % (2 * LANE) == 0 and out_h * factor * w <= 64 * 64)
+            if (b % (2 * LANE) == 0 and hrows * factor * w <= 80 * 64)
             else LANE
         )
     if b % batch_tile:
@@ -476,11 +505,15 @@ def degrade_pallas_presplit(
         )
     comp = compose_with_box(normalize_kernel(kernel), factor)  # [C, K, K]
     ksize = comp.shape[-1]
-    if ksize > 3 * factor:
+    if ksize > 5 * factor:
         raise ValueError(
-            f"pre-split degrade supports kernel span <= 3*factor, got "
-            f"{ksize} > {3 * factor}"
+            f"pre-split degrade supports kernel span <= 5*factor, got "
+            f"{ksize} > {5 * factor}"
         )
+    m = _col_halo(ksize, factor)
+    out_h = hrows - 2 * m if baked_halo else hrows
+    if baked_halo and out_h * factor > w * 64:  # sanity, not reachable
+        raise ValueError("inconsistent presplit layout")
     grid = (c, b // batch_tile)
     in_specs = [
         pl.BlockSpec(
@@ -573,7 +606,8 @@ def _bf16_terms(a: jax.Array, n: int) -> list:
 
 
 def _degrade_kernel_v4(x_ref, a_ref, out_ref, *,
-                       h: int, w: int, out_h: int, out_w: int):
+                       h: int, w: int, out_h: int, out_w: int,
+                       x_terms: int = 3):
     """Whole-stencil-as-matmul variant: one [out_h*out_w, h*w] matrix A
     per channel encodes ALL of v3's work — the column permutation, the
     statically-clamped replicate padding, and the full composed tap
@@ -595,7 +629,10 @@ def _degrade_kernel_v4(x_ref, a_ref, out_ref, *,
     """
     bt = x_ref.shape[-1]
     x = x_ref[0].reshape(h * w, bt)
-    xs = [x] if x.dtype == jnp.bfloat16 else _bf16_terms(x, 3)
+    # x_terms=3: full 6-pass exact spelling (~4e-6 max rel on chip);
+    # x_terms=2: 5 passes — the dropped A0*x_lo2 product carries the
+    # 2^-16-level x partition residual through the contraction
+    xs = [x] if x.dtype == jnp.bfloat16 else _bf16_terms(x, x_terms)
     dims = (((1,), (0,)), ((), ()))
 
     def dot(a, b):
@@ -646,7 +683,8 @@ def _stencil_matrix(comp: jax.Array, factor: int, h: int, w: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "factor", "batch_tile", "interpret", "version", "perm_mode"
+        "factor", "batch_tile", "interpret", "version", "perm_mode",
+        "v4_x_terms",
     ),
 )
 def degrade_pallas_chwb(
@@ -658,6 +696,7 @@ def degrade_pallas_chwb(
     interpret: bool = False,
     version: int | None = None,
     perm_mode: str = "split3",
+    v4_x_terms: int = 3,
 ) -> jax.Array:
     """Fused degrade on factory-layout data.
 
@@ -708,8 +747,12 @@ def degrade_pallas_chwb(
         w % w_tile or out_w % 8 or out_h * out_w * h * w > 64 * 64 * 64 * 8
     )
     if version is None:
-        if ksize <= 3 * factor:
-            version = 3       # VPU tap lattice (fastest when it fits)
+        if ksize <= 5 * factor:
+            # VPU tap lattice; the |q| <= 2 extension covers the MoE
+            # factor-4 route (span 16): 2.89M patches/s on v5e — 2.3x
+            # the dense-MXU v4 (1.25M) and ~86% of the 3.36M VPU fma
+            # roof for the 256-tap exact dense stencil (scripts/ab_f4)
+            version = 3
         elif v4_ok:
             version = 4       # dense MXU stencil: any span, 2.75x v2
         else:
@@ -754,6 +797,7 @@ def degrade_pallas_chwb(
         return pl.pallas_call(
             functools.partial(
                 kern, h=h, w=w, out_h=out_h, out_w=out_w,
+                x_terms=v4_x_terms,
             ),
             grid=grid,
             in_specs=in_specs,
@@ -779,10 +823,11 @@ def degrade_pallas_chwb(
             interpret=interpret,
         )(*operands)
     if version == 3:
-        if ksize > 3 * factor:
+        if ksize > 5 * factor:
             raise ValueError(
-                f"v3 supports kernel span <= 3*factor, got {ksize} > {3 * factor}"
+                f"v3 supports kernel span <= 5*factor, got {ksize} > {5 * factor}"
             )
+        m_halo = _col_halo(ksize, factor)
         if perm_mode not in ("split2", "split3", "highest"):
             raise ValueError(
                 f"perm_mode must be split2|split3|highest, got {perm_mode!r}"
@@ -840,7 +885,8 @@ def degrade_pallas_chwb(
             ),
             scratch_shapes=[
                 pltpu.VMEM(
-                    (factor, h // factor + 2, w, batch_tile), jnp.float32
+                    (factor, h // factor + 2 * m_halo, w, batch_tile),
+                    jnp.float32,
                 )
             ],
             out_shape=jax.ShapeDtypeStruct((c, out_h, out_w, b), jnp.float32),

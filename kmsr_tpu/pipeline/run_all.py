@@ -46,6 +46,10 @@ DEFAULT_CONFIG: dict = {
     "input_dir": "scenes",  # calibrated 5-band .nc scenes (geophysical_data)
     "landsat_root": None,  # raw Landsat C2 L1 scene dirs; used by calibrate
     "trainer": "single",  # single | fleet (per-scene kernels) | dynamic | moe
+    "kernel_file": None,  # pre-trained kernel .npy for the factory stage
+    #   (e.g. the reference's shipped output/single_kernel/.../
+    #   kernel_per_band.npy) — set it and disable train_kernel to run the
+    #   data factory + SR with an externally-estimated kernel
     "use_fused_factory": True,  # one device pass (C_30+E_); else apply+make
     "stages": {
         "calibrate": {
@@ -187,8 +191,10 @@ def run_pipeline(config: dict, from_stage: str | None = None,
             f"trainer must be single|fleet|dynamic|moe, got {trainer}"
         )
     # fleet has no single artifact: downstream stages get kernel_root
-    # (per-scene <scene>/kernel_per_band.npy under the trainer outdir)
-    kernel_art = os.path.join(
+    # (per-scene <scene>/kernel_per_band.npy under the trainer outdir).
+    # An explicit kernel_file (pre-trained / reference-shipped kernel)
+    # overrides the workdir artifact.
+    kernel_art = cfg.get("kernel_file") or os.path.join(
         paths["gan"],
         {"single": "kernel_per_band.npy", "fleet": "",
          "dynamic": os.path.join("final_results", "kernel_per_band.npy"),

@@ -44,6 +44,11 @@ def main(argv=None) -> int:
         help="progressive: x2 shuffle stages (quality); oneshot: single LR-space shuffle (speed)",
     )
     p.add_argument("--f32", action="store_true", help="train in f32 instead of bf16")
+    p.add_argument("--holdout", type=int, default=0,
+                   help="pairs held out (tail of the sorted file list) for "
+                        "true validation PSNR/SSIM; 0 = eval on train samples")
+    p.add_argument("--eval-every", type=int, default=1000)
+    p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="orbax checkpoint interval (0 = off)")
     p.add_argument("--resume", action="store_true",
@@ -67,6 +72,9 @@ def main(argv=None) -> int:
         resume=a.resume,
         outdir=a.outdir,
         seed=a.seed,
+        holdout=a.holdout,
+        eval_every=a.eval_every,
+        log_every=a.log_every,
     )
     mesh = None
     if a.data_parallel:
@@ -77,6 +85,9 @@ def main(argv=None) -> int:
 
     with maybe_trace(a.trace):
         out = train_sr((lr_all, hr_all), cfg, mesh=mesh)
+    if out.get("final_eval"):
+        ev = out["final_eval"]
+        print(f"final eval: psnr={ev['psnr']:.2f} ssim={ev['ssim']:.4f}")
     print(f"model saved: {out['model_path']}")
     return 0
 

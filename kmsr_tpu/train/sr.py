@@ -34,6 +34,9 @@ class SRTrainConfig:
     device_pool: Optional[bool] = None  # keep (lr, hr) pairs in HBM and
     #   gather batches on device; auto for datasets <= 4 GB, single device
     seed: int = 0
+    holdout: int = 0         # pairs held out (from the END of the array)
+    #   for eval: never sampled in training, so the logged PSNR/SSIM is a
+    #   true validation number, not a train-set echo
 
 
 @jax.tree_util.register_dataclass
@@ -90,9 +93,24 @@ def train_sr(
     mesh=None,
     progress: bool = True,
 ) -> dict:
-    """pairs: (lr [N,C,h,w], hr [N,C,H,W]) arrays."""
+    """pairs: (lr [N,C,h,w], hr [N,C,H,W]) arrays.
+
+    Writes `<outdir>/training_log.csv` with one row per log_every iters
+    (iter, l1) and the PSNR/SSIM columns filled on eval_every iters —
+    same CSV-log observability contract as the kernel trainers
+    (`single_kernel/train.py:156-158,305-307`); with cfg.holdout > 0 the
+    eval set is a held-out tail of the pairs, never trained on.
+    """
     lr_all, hr_all = pairs
     assert lr_all.shape[0] == hr_all.shape[0]
+    lr_val = hr_val = None
+    if cfg.holdout:
+        if cfg.holdout >= lr_all.shape[0]:
+            raise ValueError(
+                f"holdout {cfg.holdout} >= dataset size {lr_all.shape[0]}"
+            )
+        lr_val, hr_val = lr_all[-cfg.holdout:], hr_all[-cfg.holdout:]
+        lr_all, hr_all = lr_all[: -cfg.holdout], hr_all[: -cfg.holdout]
     os.makedirs(cfg.outdir, exist_ok=True)
     if mesh is not None and cfg.device_pool:
         raise ValueError(
@@ -143,6 +161,29 @@ def train_sr(
     if use_device_pool:
         lr_dev, hr_dev = jnp.asarray(lr_all), jnp.asarray(hr_all)
         take = jax.jit(lambda a, b, i: (jnp.take(a, i, axis=0), jnp.take(b, i, axis=0)))
+
+    csv_path = os.path.join(cfg.outdir, "training_log.csv")
+    csv_f = open(  # append on resume, fresh header otherwise
+        csv_path, "a" if (cfg.resume and start_iter) else "w",
+        encoding="utf-8",
+    )
+    if not (cfg.resume and start_iter):
+        csv_f.write("Iteration,Loss_L1,Eval_PSNR,Eval_SSIM\n")
+    last_eval: dict = {}
+
+    def eval_now(t):
+        if lr_val is not None:
+            lr_e, hr_e = lr_val, hr_val
+        else:
+            i = host_rng.integers(0, lr_all.shape[0], min(8, lr_all.shape[0]))
+            lr_e, hr_e = lr_all[i], hr_all[i]
+        ev = evaluate_sr(state.params, lr_e, hr_e, cfg.model)
+        if progress:
+            tag = "holdout" if lr_val is not None else "train-sample"
+            print(f"  [eval iter {t}] {tag} psnr={ev['psnr']:.2f} "
+                  f"ssim={ev['ssim']:.4f}")
+        return ev
+
     for t in iterator:
         idx = host_rng.integers(0, lr_all.shape[0], cfg.batch_size)
         if use_device_pool:
@@ -150,20 +191,28 @@ def train_sr(
         else:
             lr_b, hr_b = put(lr_all[idx]), put(hr_all[idx])
         state, m = step_fn(state, lr_b, hr_b)
-        if (t + 1) % cfg.log_every == 0:
-            log.append((t + 1, float(m["l1"])))
-        if (t + 1) % cfg.eval_every == 0:
-            idx = host_rng.integers(0, lr_all.shape[0], min(8, lr_all.shape[0]))
-            ev = evaluate_sr(state.params, lr_all[idx], hr_all[idx], cfg.model)
-            if progress:
-                print(f"  [eval iter {t+1}] psnr={ev['psnr']:.2f} ssim={ev['ssim']:.4f}")
+        is_eval = (t + 1) % cfg.eval_every == 0
+        if is_eval:
+            last_eval = eval_now(t + 1)
+        if (t + 1) % cfg.log_every == 0 or is_eval:
+            l1 = float(m["l1"])
+            log.append((t + 1, l1))
+            csv_f.write(
+                f"{t + 1},{l1:.6f},"
+                + (f"{last_eval['psnr']:.4f},{last_eval['ssim']:.6f}\n"
+                   if is_eval else ",\n")
+            )
+            csv_f.flush()
         if cfg.ckpt_every and (t + 1) % cfg.ckpt_every == 0:
             from .state import save_checkpoint
 
             save_checkpoint(ckpt_dir, state, t + 1)
+    final_eval = eval_now(cfg.iters) if (lr_val is not None) else last_eval
+    csv_f.close()
     from ..utils.params_io import save_params
 
     params = jax.device_get(state.params)
     model_path = os.path.join(cfg.outdir, "sr_model.npz")
     save_params(model_path, params)
-    return {"state": state, "log": log, "model_path": model_path}
+    return {"state": state, "log": log, "model_path": model_path,
+            "final_eval": final_eval, "csv_path": csv_path}

@@ -126,17 +126,35 @@ def main() -> int:
     ))
     check("patch chwb v3 bf16 input", got, want_chwb, 6e-3)
 
-    # wide span (f=4, k=13 -> span 16 > 3f): auto -> v4 dense MXU; v2 too
+    # wide span (f=4, k=13 -> span 16 > 3f, the MoE production
+    # decimation): auto -> extended v3 lattice (|q| <= 2); plus the
+    # explicit v4 dense-MXU, v2, and both presplit layouts (halo-free +
+    # 2-row baked halos)
     want4 = host_oracle(img, kernel, 4)
     want4_chwb = np.transpose(want4, (1, 2, 3, 0))
     got = np.asarray(degrade_pallas_chwb(
         x, jnp.asarray(kernel), factor=4, interpret=interp,
     ))
-    check("patch chwb f=4 auto (v4 dense-MXU)", got, want4_chwb, 1e-4)
+    check("patch chwb f=4 auto (extended v3)", got, want4_chwb, 1e-4)
+    for version in (4, 2):
+        got = np.asarray(degrade_pallas_chwb(
+            x, jnp.asarray(kernel), factor=4, interpret=interp,
+            version=version,
+        ))
+        check(f"patch chwb f=4 v{version}", got, want4_chwb, 1e-4)
     got = np.asarray(degrade_pallas_chwb(
-        x, jnp.asarray(kernel), factor=4, interpret=interp, version=2,
+        x, jnp.asarray(kernel), factor=4, interpret=interp,
+        version=4, v4_x_terms=2,
     ))
-    check("patch chwb f=4 v2", got, want4_chwb, 1e-4)
+    check("patch chwb f=4 v4 5-pass (x 2-term)", got, want4_chwb, 1e-4)
+    for baked, rows in ((True, 2), (False, 1)):
+        xp4 = phase_split_chwb(x, factor=4, halo=baked, halo_rows=rows)
+        got = np.asarray(degrade_pallas_presplit(
+            xp4, jnp.asarray(kernel), factor=4, interpret=interp,
+            baked_halo=baked,
+        ))
+        tag = "baked-halo(2)" if baked else "halo-free"
+        check(f"patch presplit f=4 {tag}", got, want4_chwb, 1e-4)
 
     # ---- whole-scene paths ----------------------------------------------
     from kmsr_tpu.parallel.spatial import degrade_scene

@@ -91,9 +91,16 @@ def test_pallas_v3_fused_pad_free(rng):
     got = np.transpose(np.asarray(out)[..., :3], (3, 0, 1, 2))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
-    # span guard: 13x13 blur at factor 4 has span 16 > 3*4
+    # wide-span lattice (|q| <= 2): 13x13 blur at factor 4 has span 16
+    # (> 3*4, <= 5*4) — the extended v3 must match the oracle too
+    want4 = np.asarray(degrade_strided(jnp.asarray(img), kernel, factor=4))
+    out4 = degrade_pallas_chwb(xc, kernel, factor=4, interpret=True, version=3)
+    got4 = np.transpose(np.asarray(out4)[..., :3], (3, 0, 1, 2))
+    np.testing.assert_allclose(got4, want4, rtol=1e-4, atol=1e-5)
+
+    # span guard still enforced beyond 5*factor: factor 2 -> span 14 > 10
     with pytest.raises(ValueError, match="span"):
-        degrade_pallas_chwb(xc, kernel, factor=4, interpret=True, version=3)
+        degrade_pallas_chwb(xc, kernel, factor=2, interpret=True, version=3)
 
 
 def test_pallas_bf16_input_storage(rng):
@@ -247,6 +254,51 @@ def test_presplit_halo_free_matches_chwb(rng):
             )
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_presplit_factor4_wide_span(rng):
+    """Factor-4 (span 16 > 3*4: the MoE production decimation,
+    train_gemini.py:134) through BOTH presplit layouts must equal the
+    natural-layout extended v3 (to f32 rounding: the padded-column chwb
+    graph and the concat-based presplit graph reassociate fma chains
+    differently under XLA — measured 9e-8 max rel), and all must match
+    the XLA oracle."""
+    from kmsr_tpu.ops.degrade import degrade_strided
+    from kmsr_tpu.ops.degrade_pallas import (
+        degrade_pallas_presplit,
+        phase_split_chwb,
+    )
+
+    x = jnp.asarray(rng.normal(5, 2, size=(2, 32, 32, 8)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(2, 13, 13)).astype(np.float32))
+    noise = jnp.asarray(rng.normal(0, 0.1, size=(2, 8, 8, 8)).astype(np.float32))
+    img = jnp.transpose(x, (3, 0, 1, 2))
+    want_oracle = np.asarray(degrade_strided(img, kernel, factor=4))
+    want = np.asarray(
+        degrade_pallas_chwb(x, kernel, noise=noise, factor=4, batch_tile=8,
+                            interpret=True, version=3)
+    )
+    np.testing.assert_allclose(
+        np.transpose(want - np.asarray(noise), (3, 0, 1, 2)),
+        want_oracle, rtol=1e-4, atol=1e-5,
+    )
+    # halo-free layout
+    xp = phase_split_chwb(x, factor=4, halo=False)
+    assert xp.shape == (2, 4, 8, 32, 8)
+    got = np.asarray(
+        degrade_pallas_presplit(xp, kernel, noise=noise, factor=4,
+                                batch_tile=8, interpret=True,
+                                baked_halo=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # baked-halo layout needs 2 halo rows at span 16
+    xp2 = phase_split_chwb(x, factor=4, halo_rows=2)
+    assert xp2.shape == (2, 4, 8 + 4, 32, 8)
+    got2 = np.asarray(
+        degrade_pallas_presplit(xp2, kernel, noise=noise, factor=4,
+                                batch_tile=8, interpret=True)
+    )
+    np.testing.assert_allclose(got2, want, rtol=1e-6, atol=1e-6)
 
 
 def test_presplit_matches_native_loader_layout(rng, tmp_path):
