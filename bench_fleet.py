@@ -60,7 +60,8 @@ def _median_step(step, state, args, iters: int, warmup: int = 3):
             state, metrics = step(state, *args)
         float(np.asarray(metrics["loss_D"]).sum())
         times.append((time.perf_counter() - t0) / iters)
-    return sorted(times)[len(times) // 2], state
+    times.sort()
+    return (times[len(times) // 2], times[0], times[-1]), state
 
 
 def main() -> int:
@@ -116,7 +117,7 @@ def main() -> int:
     single_args = (
         (pools[0],) if k_steps > 1 else (pools[0], hr_idx[0], crop_idx[0])
     )
-    t_single, _ = _median_step(single_step, state1, single_args, iters)
+    (t_single, _, _), _ = _median_step(single_step, state1, single_args, iters)
 
     # --- fleet ----------------------------------------------------------
     # KMSR_FLEET_CHUNK=m: m-scene vmapped chunks under lax.map (bounds
@@ -133,7 +134,7 @@ def main() -> int:
         [init_training(dataclasses.replace(cfg, seed=s))
          for s in range(s_total)]
     )
-    t_fleet, _ = _median_step(fleet_step, state, fleet_args, iters)
+    (t_fleet, t_lo, t_hi), _ = _median_step(fleet_step, state, fleet_args, iters)
 
     # a dispatch advances every scene k_steps iterations
     scene_iters = s_total * k_steps / t_fleet
@@ -151,6 +152,10 @@ def main() -> int:
         "value": round(scene_iters, 2),
         "unit": "scene-iters/s",
         "vs_baseline": round(speedup, 3),
+        "spread": {
+            "min": round(s_total * k_steps / t_hi, 2),
+            "max": round(s_total * k_steps / t_lo, 2),
+        },
     }))
     return 0
 

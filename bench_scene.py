@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -40,19 +39,11 @@ def main() -> int:
 
     fn = jax.jit(lambda s, k: degrade_scene(s, k, factor=8, impl=impl))
 
-    def drain(o):
-        return float(jnp.sum(o))  # scalar readback: the only reliable fence
+    from kmsr_tpu.utils.profiling import bench_windows
 
-    drain(fn(scene, kernel))  # compile
-    drain(fn(scene, kernel))  # warm
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(scene, kernel)
-    drain(out)
-    dt = time.perf_counter() - t0
-
-    mpix_per_sec = side * side * iters / dt / 1e6
+    t = bench_windows(fn, scene, kernel, iters=iters)
+    mpix = side * side / 1e6
+    mpix_per_sec = mpix / t["median_s"]
     print(
         json.dumps(
             {
@@ -60,6 +51,10 @@ def main() -> int:
                 "value": round(mpix_per_sec, 1),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_per_sec / BASELINE_MPIX_PER_SEC, 3),
+                "spread": {
+                    "min": round(mpix / t["max_s"], 1),
+                    "max": round(mpix / t["min_s"], 1),
+                },
             }
         )
     )

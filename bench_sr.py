@@ -9,7 +9,6 @@ Prints ONE JSON line per variant.
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
@@ -28,22 +27,20 @@ def bench(upsampler: str, batch: int = 128, iters: int = 30) -> dict:
     x = jnp.asarray(rng.normal(3.0, 1.0, (batch, 5, 32, 32)).astype(np.float32))
     fwd = jax.jit(lambda p, a: sr_forward(p, a, cfg))
 
-    # warm-up + fence (scalar readback: block_until_ready does not
-    # round-trip under the remote-tunnel backend)
-    y = fwd(params, x)
-    _ = float(jnp.sum(y))
-    t0 = time.perf_counter()
-    for _i in range(iters):
-        y = fwd(params, x)
-    _ = float(jnp.sum(y))
-    dt = (time.perf_counter() - t0) / iters
-    out_pix = batch * (32 * cfg.factor) ** 2
-    mpix = out_pix / dt / 1e6
+    from kmsr_tpu.utils.profiling import bench_windows
+
+    t = bench_windows(fwd, params, x, iters=iters)
+    out_mpix = batch * (32 * cfg.factor) ** 2 / 1e6
+    mpix = out_mpix / t["median_s"]
     return {
         "metric": f"sr_x8_inference_mpix_per_sec[{upsampler}]",
         "value": round(mpix, 1),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix / BASELINE_MPIX_PER_SEC, 3),
+        "spread": {
+            "min": round(out_mpix / t["max_s"], 1),
+            "max": round(out_mpix / t["min_s"], 1),
+        },
     }
 
 

@@ -15,7 +15,7 @@ from .kernel_algebra import compose_chain, compose_pair, effective_kernel, full_
 # (+ pallas.tpu) at package import would tax every XLA-only consumer (the
 # pipeline/parallel modules deliberately keep their Pallas imports
 # function-local for the same reason). Functions whose name EQUALS their
-# submodule (`degrade_pallas`, `degrade_scene_tiles`) are deliberately
+# submodule (`degrade_pallas`) are deliberately
 # not re-exported here — the submodule attribute set by any prior import
 # would shadow them; import those directly, e.g.
 # `from kmsr_tpu.ops.degrade_pallas import degrade_pallas`.
@@ -23,9 +23,6 @@ _PALLAS_EXPORTS = {
     "degrade_pallas_chwb": "degrade_pallas",
     "degrade_pallas_presplit": "degrade_pallas",
     "phase_split_chwb": "degrade_pallas",
-    "degrade_rows_tiles": "degrade_scene_tiles",
-    "rows_to_tiles_ext": "degrade_scene_tiles",
-    "scene_to_tiles_ext": "degrade_scene_tiles",
 }
 
 

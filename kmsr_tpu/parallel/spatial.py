@@ -98,34 +98,17 @@ def degrade_scene_sharded(
     comp = compose_with_box(kernel, factor)  # [C, kh+f-1, kw+f-1]
     ksize = comp.shape[-1]
 
-    if impl == "tiles":
-        # tiles-in-lanes path (ops.degrade_scene_tiles): every tap
-        # lane-aligned, exact seams, no strip convs. Needs the span and
-        # the tile geometry to fit; fall back to 'fast' otherwise.
-        from ..ops.degrade_scene_tiles import (
-            _pick_rt,
-            degrade_rows_tiles,
-            pick_wt,
-        )
-
-        wt = pick_wt(w, factor)
-        out_h_local = h // n // factor
-        if (ksize > 3 * factor or wt is None
-                or _pick_rt(out_h_local) is None or h // n % factor):
-            impl = "fast"
-    if impl == "tiles":
-        top, bot = halo_rows(factor, ksize)
-        local_tpu = next(iter(mesh.devices.flat)).platform == "tpu"
-
-        def local_fn(x_local, k_comp):
-            top_rows, bot_rows = _thin_halo(
-                x_local, max(top, 1), max(bot, 1), axis_name
-            )
-            return degrade_rows_tiles(
-                x_local, k_comp, factor, top_rows, bot_rows, wt=wt,
-                interpret=not local_tpu,
-            )
-    elif impl == "fast":
+    # (a "tiles"-in-lanes local path existed through round 2 and was
+    # REMOVED in round 3: its kernel pass was fast (~5 ms/8192^2 scene,
+    # every tap lane-aligned) but the on-device layout transform it
+    # requires ran at 8x copy speed — 27 ms, more than the ENTIRE
+    # raw-slab path — so it always lost end-to-end: 2.08 vs 2.56 Gpix/s.
+    # See BASELINE.md for the measurements and the rejected rescues.)
+    if impl == "tiles":  # removed alias, kept for config compat
+        impl = "fast"
+    if impl not in ("fast", "bands"):
+        raise ValueError(f"impl must be fast|bands, got {impl!r}")
+    if impl == "fast":
         top, bot = halo_rows(factor, ksize)
         # strip convs reach ksize-ish rows into the slab; thinner slabs
         # take the old path
@@ -152,7 +135,7 @@ def degrade_scene_sharded(
                 x_local, k_comp, factor, top_rows, bot_rows,
                 impl=local_impl,
             )
-    elif impl == "bands":
+    else:  # bands
         halo = kh // 2
 
         def local_fn(x_local, k_comp):
@@ -161,8 +144,6 @@ def degrade_scene_sharded(
                 x_ext, ((0, 0), (0, 0), (kw // 2, kw // 2)), mode="edge"
             )
             return _degrade_slab(x_ext, k_comp, factor, ext=2 * halo)
-    elif impl != "tiles":
-        raise ValueError(f"impl must be tiles|fast|bands, got {impl!r}")
 
     fn = shard_map(
         local_fn,

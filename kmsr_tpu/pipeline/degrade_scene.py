@@ -125,10 +125,9 @@ def main(argv=None) -> int:
     p.add_argument("--in-group", default=GROUP_GEO)
     p.add_argument("--out-group", default=GROUP_BLURRED)
     p.add_argument("--suffix", default="_blurred")
-    p.add_argument("--impl", choices=["tiles", "fast", "bands"],
+    p.add_argument("--impl", choices=["fast", "bands"],
                    default="fast",
-                   help="tiles: tiles-in-lanes Mosaic kernel (exact seams); "
-                        "fast: raw-slab phase planes; bands: row-band conv")
+                   help="fast: raw-slab phase planes; bands: row-band conv")
     a = p.parse_args(argv)
     report = process_scenes(
         a.input, a.kernel, a.output_dir,

@@ -39,6 +39,43 @@ def timing_report(reset: bool = False) -> dict[str, dict]:
     return out
 
 
+def bench_windows(fn, *args, iters: int, windows: int = 5,
+                  drain=None) -> dict:
+    """Median-of-k timing windows with min/max spread.
+
+    Tunnel/host throughput drifts ~15% across hours (docs/NOTES_r2.md),
+    so a single sample makes cross-round deltas uninterpretable; every
+    bench script reports {median_s, min_s, max_s} per iteration from k
+    back-to-back windows instead (VERDICT r2 item 4). `drain` fences the
+    in-order device queue (a scalar readback — block_until_ready does
+    not round-trip under the remote-tunnel backend); defaults to a
+    jnp.sum readback.
+    """
+    import jax.numpy as jnp
+
+    if drain is None:
+        def drain(o):
+            return float(jnp.sum(o))
+
+    drain(fn(*args))  # compile
+    for _ in range(2):
+        out = fn(*args)
+    drain(out)  # warm queue
+    samples = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        drain(out)
+        samples.append((time.perf_counter() - t0) / iters)
+    samples.sort()
+    return {
+        "median_s": samples[len(samples) // 2],
+        "min_s": samples[0],
+        "max_s": samples[-1],
+    }
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str) -> Iterator[None]:
     """Capture a jax.profiler trace (view with TensorBoard / xprof)."""

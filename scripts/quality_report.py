@@ -1,0 +1,179 @@
+"""SR quality report on real-pipeline data (VERDICT r2 item 2).
+
+Evaluates the trained SR model on the HELD-OUT tail of the data-factory
+pairs (the same holdout `train_sr` never sampled) against the bilinear
+x`factor` baseline, reads the training CSV's PSNR/SSIM curve, and writes
+docs/QUALITY.md (+ a curve PNG).
+
+Run after the pipeline (see scripts/run_quality.sh):
+    python scripts/quality_report.py --pairs quality_run/work/train_pairs \
+        --sr quality_run/work/sr_run --holdout 24 --out docs/QUALITY.md
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--pairs", required=True, help="factory output dir")
+    p.add_argument("--sr", required=True, help="sr_train outdir")
+    p.add_argument("--holdout", type=int, default=24)
+    p.add_argument("--factor", type=int, default=8)
+    p.add_argument("--width", type=int, default=48)
+    p.add_argument("--n-blocks", type=int, default=6)
+    p.add_argument("--upsampler", default="progressive")
+    p.add_argument("--config", default="configs/quality_x8.json")
+    p.add_argument("--out", default="docs/QUALITY.md")
+    a = p.parse_args()
+
+    import jax.numpy as jnp
+
+    from kmsr_tpu.models.sr import SRConfig, bilinear_upsample, init_sr, sr_forward
+    from kmsr_tpu.ops.metrics import psnr, ssim
+    from kmsr_tpu.pipeline.train_sr_cli import load_pairs
+    from kmsr_tpu.utils.params_io import load_params
+
+    lr_all, hr_all = load_pairs(a.pairs)
+    n = lr_all.shape[0]
+    lr_v, hr_v = lr_all[-a.holdout:], hr_all[-a.holdout:]
+    print(f"{n} pairs, evaluating on the held-out tail of {a.holdout}")
+
+    cfg = SRConfig(width=a.width, n_blocks=a.n_blocks, factor=a.factor,
+                   upsampler=a.upsampler)
+    import jax
+
+    params = load_params(os.path.join(a.sr, "sr_model.npz"),
+                         init_sr(jax.random.PRNGKey(0), cfg))
+
+    def metrics(pred, hr):
+        dr = float(np.nanmax(hr) - np.nanmin(hr)) or 1.0
+        return (float(psnr(jnp.asarray(pred), jnp.asarray(hr), dr)),
+                float(ssim(jnp.asarray(pred), jnp.asarray(hr), dr)))
+
+    rows = []
+    for i in range(a.holdout):
+        pred = np.asarray(sr_forward(
+            params, jnp.asarray(lr_v[i : i + 1]), cfg,
+            compute_dtype=jnp.float32)[0])
+        bil = np.asarray(bilinear_upsample(jnp.asarray(lr_v[i : i + 1]),
+                                           a.factor)[0])
+        rows.append(metrics(pred, hr_v[i]) + metrics(bil, hr_v[i]))
+    arr = np.asarray(rows)  # [N, 4]: sr_psnr, sr_ssim, bl_psnr, bl_ssim
+    sr_p, sr_s, bl_p, bl_s = arr.mean(axis=0)
+    print(f"SR      psnr={sr_p:.2f} ssim={sr_s:.4f}")
+    print(f"bilinear psnr={bl_p:.2f} ssim={bl_s:.4f}")
+    print(f"delta   psnr=+{sr_p - bl_p:.2f} dB ssim=+{sr_s - bl_s:.4f}")
+
+    # training curve from the CSV written by train_sr
+    curve = []
+    csv_path = os.path.join(a.sr, "training_log.csv")
+    with open(csv_path, encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            if row["Eval_PSNR"]:
+                curve.append((int(row["Iteration"]),
+                              float(row["Eval_PSNR"]),
+                              float(row["Eval_SSIM"])))
+
+    png = os.path.join(os.path.dirname(a.out) or ".", "quality_curve.png")
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        it = [c[0] for c in curve]
+        fig, ax1 = plt.subplots(figsize=(7, 4))
+        ax1.plot(it, [c[1] for c in curve], "o-", label="SR PSNR (holdout)")
+        ax1.axhline(bl_p, ls="--", c="gray", label=f"bilinear x{a.factor}")
+        ax1.set_xlabel("iteration")
+        ax1.set_ylabel("PSNR (dB)")
+        ax2 = ax1.twinx()
+        ax2.plot(it, [c[2] for c in curve], "s-", c="tab:orange", alpha=0.6)
+        ax2.set_ylabel("SSIM")
+        ax1.legend(loc="lower right")
+        fig.tight_layout()
+        fig.savefig(png, dpi=110)
+        print(f"curve -> {png}")
+    except Exception as e:  # matplotlib hiccups must not kill the report
+        print(f"curve plot skipped: {e}")
+        png = None
+
+    kernel_file = "(see config)"
+    try:
+        import json
+
+        kernel_file = json.load(open(a.config))["kernel_file"]
+    except Exception:
+        pass
+
+    lines = [
+        "# SR quality on real-pipeline data",
+        "",
+        "End-to-end evidence for the BASELINE \"PSNR/SSIM parity vs the",
+        "reference pipeline\" row: the SR model is trained on hr/lr pairs",
+        "produced by the FULL pipeline DAG (cut -> NLM denoise -> noise",
+        "pool -> fused degrade factory) driven by `pipeline.run_all` from",
+        f"one committed config (`{a.config}`), with the degradation kernel",
+        "being the reference's own shipped KernelGAN artifact",
+        f"(`{kernel_file}`,",
+        "trained by `/root/reference/kernel_from_lr_gan/single_kernel/train.py`)",
+        "— i.e. the exact data-manufacturing contract of",
+        "`E_make_train_data.py:187-272`, with the factory noise drawn from",
+        "the empirical noise pool (original - denoised residuals,",
+        "`D_build_noise_pool.py`).",
+        "",
+        "Input: 8 synthetic Landsat-like ocean scenes (896^2, 5 bands,",
+        "power-law mesoscale eddies + sharp chlorophyll fronts + per-band",
+        "sensor noise at the reference's measured sigmas, NaN cloud holes;",
+        "`scripts/make_quality_scenes.py`, seeded). Holdout: the last",
+        f"{a.holdout} pairs (complete scenes, never sampled in training).",
+        "",
+        "Reproduce (one command):",
+        "",
+        "```bash",
+        "bash scripts/run_quality.sh",
+        "```",
+        "",
+        "## Results (held-out pairs, x{f} SR, {n} train pairs)".format(
+            f=a.factor, n=n - a.holdout),
+        "",
+        "| method | PSNR (dB) | SSIM |",
+        "|---|---|---|",
+        f"| bilinear x{a.factor} | {bl_p:.2f} | {bl_s:.4f} |",
+        f"| kmsr_tpu SR | **{sr_p:.2f}** | **{sr_s:.4f}** |",
+        f"| delta | +{sr_p - bl_p:.2f} | +{sr_s - bl_s:.4f} |",
+        "",
+        "## Training curve (holdout PSNR/SSIM per eval, from "
+        "`sr_run/training_log.csv`)",
+        "",
+        "| iteration | PSNR | SSIM |",
+        "|---|---|---|",
+    ]
+    lines += [f"| {i} | {p_:.2f} | {s:.4f} |" for i, p_, s in curve]
+    if png:
+        lines += ["", f"![training curve]({os.path.basename(png)})"]
+    lines += [
+        "",
+        "Caveats: scenes are synthetic (no real Landsat L1 files ship in",
+        "this image); their spectra, noise floors, masking, and NaN",
+        "behavior follow the reference's data model (SURVEY.md section 0),",
+        "and every pipeline stage crossed is the production one.",
+        "",
+    ]
+    os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
+    with open(a.out, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    print(f"report -> {a.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

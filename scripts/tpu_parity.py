@@ -161,7 +161,7 @@ def main() -> int:
 
     scene = rng.normal(5, 2, (c, 1024, 1024)).astype(np.float32)
     want_sc = host_oracle(scene, kernel, 8)
-    for impl in ("fast", "tiles"):
+    for impl in ("fast", "bands"):
         got = np.asarray(degrade_scene(jnp.asarray(scene),
                                        jnp.asarray(kernel), impl=impl))
         check(f"scene impl={impl} 1024^2", got, want_sc, 1e-4)
@@ -172,7 +172,7 @@ def main() -> int:
     # lowers in interpret mode but is rejected by the real-TPU lowering)
     odd = scene[:, :1019, :1003]
     want_odd = host_oracle(odd[:, : (1019 // 8) * 8, : (1003 // 8) * 8], kernel, 8)
-    for impl in ("fast", "tiles"):
+    for impl in ("fast", "bands"):
         got = np.asarray(degrade_scene(jnp.asarray(odd), jnp.asarray(kernel),
                                        impl=impl))
         check(f"scene impl={impl} odd dims 1019x1003", got, want_odd, 1e-4)

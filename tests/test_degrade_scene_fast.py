@@ -182,140 +182,3 @@ def test_slab_halo_contract():
     assert top == 8 and bot == 8
     top, bot = slab_halo(3, 7)  # f=3, k=5: half=2 -> nb=1
     assert top == 3 and (top + bot) % 3 == 0 and bot >= 5
-
-
-# ---------------------------------------------------------------------------
-# tiles-in-lanes scene path (ops.degrade_scene_tiles)
-
-
-def test_scene_to_tiles_ext_definition(rng):
-    """Extended tile layout: sublanes [hl(f) | permuted tile | hr(f)] with
-    true neighbor columns (replicate at the global edges)."""
-    from kmsr_tpu.ops.degrade_scene_tiles import scene_to_tiles_ext
-
-    c, h, w, f, wt = 2, 16, 32, 4, 16
-    x = rng.normal(size=(c, h, w)).astype(np.float32)
-    ext = np.asarray(scene_to_tiles_ext(jnp.asarray(x), f, wt))
-    t, out_h, out_wt = w // wt, h // f, wt // f
-    assert ext.shape == (c, f, out_h, 2 * f + wt, t)
-    for p in range(f):
-        for i in range(out_h):
-            for ti in range(t):
-                for r in range(f):
-                    np.testing.assert_array_equal(
-                        ext[:, p, i, r, ti],
-                        x[:, f * i + p, max(wt * ti - f + r, 0)],
-                    )
-                    np.testing.assert_array_equal(
-                        ext[:, p, i, f + wt + r, ti],
-                        x[:, f * i + p, min(wt * (ti + 1) + r, w - 1)],
-                    )
-                for dxi in range(f):
-                    for j in range(out_wt):
-                        np.testing.assert_array_equal(
-                            ext[:, p, i, f + dxi * out_wt + j, ti],
-                            x[:, f * i + p, wt * ti + f * j + dxi],
-                        )
-
-
-@pytest.mark.slow
-@pytest.mark.parametrize(
-    "c,h,w,f,wt,k", [(2, 64, 128, 8, 64, 13), (1, 32, 96, 4, 16, 7)]
-)
-def test_scene_tiles_matches_conv(rng, c, h, w, f, wt, k):
-    """Tiles-in-lanes kernel ≡ replicate-pad + strided conv, including
-    tile seams (true neighbor columns) and global edges (no strips)."""
-    from kmsr_tpu.ops.degrade_scene_tiles import degrade_scene_tiles
-
-    scene = jnp.asarray(rng.normal(5, 2, (c, h, w)).astype(np.float32))
-    kernel = jnp.asarray(rng.uniform(0, 1, (c, k, k)).astype(np.float32))
-    want = np.asarray(_oracle(scene, kernel, f))
-    comp = compose_with_box(normalize_kernel(kernel), f)
-    got = np.asarray(
-        degrade_scene_tiles(scene, comp, factor=f, wt=wt, interpret=True)
-    )
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
-
-
-def test_scene_tiles_span_gate(rng):
-    from kmsr_tpu.ops.degrade_scene_tiles import degrade_scene_tiles
-
-    scene = jnp.asarray(rng.normal(size=(1, 32, 32)).astype(np.float32))
-    comp = jnp.ones((1, 25, 25), np.float32) / 625.0  # span > 3*factor
-    with pytest.raises(ValueError):
-        degrade_scene_tiles(scene, comp, factor=4, wt=16, interpret=True)
-
-
-@pytest.mark.slow
-def test_rows_tiles_neighbor_halos_tile_exactly(rng):
-    """degrade_rows_tiles on two row shards with real neighbor halos
-    reassembles to the whole-scene oracle exactly (same contract as
-    degrade_rows_fast)."""
-    from kmsr_tpu.ops.degrade_scene_tiles import degrade_rows_tiles
-
-    c, h, w, f, wt = 2, 128, 128, 8, 64
-    x = jnp.asarray(rng.normal(5, 2, (c, h, w)).astype(np.float32))
-    kernel = jnp.asarray(rng.uniform(0, 1, (c, 13, 13)).astype(np.float32))
-    comp = compose_with_box(normalize_kernel(kernel), f)
-    half = (comp.shape[-1] - f) // 2
-    bh = comp.shape[-1] - half - f
-    want = np.asarray(_oracle(x, kernel, f))
-    outs = []
-    for s0, s1 in [(0, h // 2), (h // 2, h)]:
-        top = (x[:, s0 - half : s0] if s0
-               else jnp.repeat(x[:, :1], half, axis=1))
-        bot = (x[:, s1 : s1 + bh] if s1 < h
-               else jnp.repeat(x[:, -1:], bh, axis=1))
-        outs.append(
-            degrade_rows_tiles(
-                x[:, s0:s1], comp, f, top, bot, wt=wt, interpret=True
-            )
-        )
-    got = np.asarray(jnp.concatenate(outs, axis=1))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
-
-
-def test_pick_wt_geometry():
-    """Adaptive tile width: largest divisor of W that is a factor
-    multiple with >=2 output columns per tile."""
-    from kmsr_tpu.ops.degrade_scene_tiles import pick_wt
-
-    assert pick_wt(8192, 8) == 64
-    assert pick_wt(96, 8) == 48      # 64 does not divide 96
-    assert pick_wt(32, 4) == 32
-    assert pick_wt(100, 8) is None   # no legal divisor
-    assert pick_wt(8, 8) is None     # out_wt would be 1
-
-
-def test_scene_tiles_adaptive_width_matches_conv(rng):
-    """W not divisible by the default 64 tile still takes the tiles path
-    via pick_wt and reproduces the oracle."""
-    from kmsr_tpu.ops.degrade_scene_tiles import degrade_scene_tiles, pick_wt
-
-    c, h, w, f = 1, 16, 96, 8
-    wt = pick_wt(w, f)
-    assert wt == 48
-    x = jnp.asarray(rng.normal(5, 2, (c, h, w)).astype(np.float32))
-    kernel = jnp.asarray(rng.uniform(0, 1, (c, 13, 13)).astype(np.float32))
-    want = np.asarray(_oracle(x, kernel, f))
-    comp = compose_with_box(normalize_kernel(kernel), f)
-    got = np.asarray(
-        degrade_scene_tiles(x, comp, factor=f, wt=wt, interpret=True)
-    )
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
-
-
-def test_scene_tiles_single_row_tile(rng):
-    """out_h == rt == 1-per-shard geometry (regression: the q0=±1 row
-    stacks must not slice an empty range of a 1-row block)."""
-    from kmsr_tpu.ops.degrade_scene_tiles import degrade_scene_tiles
-
-    c, h, w, f, wt = 1, 8, 32, 8, 16  # out_h = 1 -> rt = 1
-    x = jnp.asarray(rng.normal(5, 2, (c, h, w)).astype(np.float32))
-    kernel = jnp.asarray(rng.uniform(0, 1, (c, 13, 13)).astype(np.float32))
-    want = np.asarray(_oracle(x, kernel, f))
-    comp = compose_with_box(normalize_kernel(kernel), f)
-    got = np.asarray(
-        degrade_scene_tiles(x, comp, factor=f, wt=wt, interpret=True)
-    )
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -87,23 +87,11 @@ def test_sharded_small_kernel_matches_single_device(mesh, rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.slow
-def test_sharded_scene_tiles_impl_matches_single_device(mesh, rng):
-    """impl='tiles' (tiles-in-lanes kernel, interpret on CPU) reproduces
-    the single-device degrade across the 8-way row sharding."""
-    scene = jnp.asarray(rng.normal(5, 2, size=(2, 512, 128)).astype(np.float32))
-    kernel = jnp.asarray(rng.uniform(0, 1, size=(2, 13, 13)).astype(np.float32))
-    want = np.asarray(degrade(scene, kernel, factor=8))
-    got = np.asarray(
-        degrade_scene_sharded(scene, kernel, mesh, factor=8, impl="tiles")
-    )
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
-
-
 @pytest.mark.slow  # unique shapes -> full 8-shard shard_map compile
-def test_sharded_scene_tiles_impl_falls_back(mesh, rng):
-    """Geometry the tiles path cannot take (W not a multiple of the tile
-    width) silently falls back to the fast path."""
+def test_sharded_scene_tiles_alias_maps_to_fast(mesh, rng):
+    """The removed impl='tiles' name (round-2 configs) is accepted as an
+    alias of the raw-slab fast path and reproduces the single-device
+    degrade across the 8-way row sharding."""
     scene = jnp.asarray(rng.normal(size=(1, 256, 32)).astype(np.float32))
     kernel = jnp.asarray(rng.uniform(0, 1, size=(1, 13, 13)).astype(np.float32))
     want = np.asarray(degrade(scene, kernel, factor=4))
