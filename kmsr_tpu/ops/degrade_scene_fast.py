@@ -19,6 +19,27 @@ reads phase rows m+qy and cols n+qx, qy/qx in {0..qmax}. Every tap is a
 contiguous shifted window of a lane-friendly [R, W/f] plane — no strided
 access anywhere.
 
+The `col_split` pre-pass is one extra HBM round-trip of the scene; can
+it be folded INTO the stencil's HBM pass? Settled in round 3 (VERDICT
+r2 item 8): no — every in-kernel spelling of the column phase split is
+rejected by this Mosaic version or loses by construction.
+- stride-f lane slice (`lax.slice` strides=(1, f)): lowering verifier
+  error, `'vector.extract_strided_slice' op expected strides to be
+  confined to [1, 2)`.
+- lane-splitting reshape + minor-dim index ([n, W] -> [n, S, f],
+  take [..., q]): `infer-vector-layout: unsupported shape cast` on
+  `tpu.reshape vector<144x1024xf32> -> vector<144x128x8xf32>`.
+- DMA-level split (pass the scene pre-reshaped [C, H, S, f] — free
+  metadata change in XLA — and give the grid a q axis whose blocks are
+  [rows, S, 1]): lane-strided DMA reads 4 bytes per f*4-byte burst,
+  the same ~f-times-copy-speed penalty measured for the tiles layout
+  transform (BASELINE.md) — strictly worse than the copy-speed
+  pre-pass it would replace.
+The two-pass spelling is therefore the roofline choice: the pre-pass
+costs ~2 scene-passes of HBM at copy speed (~6 ms of the measured
+26 ms/8192^2 scene) while the stencil itself is VPU-fma-bound at
+85-90% of its roof.
+
 Three hard-won layout rules (all measured on v5e, 8192^2 scene):
 - Never materialize an intermediate whose minor dim is `factor`: lane
   padding inflates it 128/f-fold (21.7 GB compile-time OOM).
