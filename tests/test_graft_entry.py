@@ -23,9 +23,11 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.exhaustive  # canonical: test_dryrun_multichip_8 (the driver also dryruns every round)
 def test_dryrun_multichip_4():
     ge.dryrun_multichip(4)
 
 
+@pytest.mark.exhaustive  # canonical: test_dryrun_multichip_8
 def test_dryrun_multichip_odd():
     ge.dryrun_multichip(3)  # falls back to pure-DP mesh

@@ -15,6 +15,12 @@ def mesh():
 
 
 @pytest.mark.slow
+@pytest.mark.exhaustive  # production f=8/13x13 sharded geometry: ~4 min of
+# 8-shard XLA compile on this host. The invariant (halo exchange + seam
+# parity) runs every suite at small span in
+# test_sharded_small_kernel_matches_single_device; the f=8 composition is
+# also exercised by dryrun_multichip each round and by scripts/tpu_parity.py
+# on hardware.
 def test_sharded_scene_matches_single_device(mesh, rng):
     scene = jnp.asarray(rng.normal(5, 2, size=(5, 512, 128)).astype(np.float32))
     kernel = jnp.asarray(rng.uniform(0, 1, size=(5, 13, 13)).astype(np.float32))
@@ -26,8 +32,10 @@ def test_sharded_scene_matches_single_device(mesh, rng):
 
 @pytest.mark.slow
 def test_sharded_scene_2d_kernel(mesh, rng):
-    scene = jnp.asarray(rng.normal(size=(5, 256, 64)).astype(np.float32))
-    kernel = jnp.asarray(rng.uniform(0, 1, size=(13, 13)).astype(np.float32))
+    """A rank-2 kernel broadcasts across bands (small span: the broadcast
+    logic is span-independent and a 13x13 compiles ~100s on this host)."""
+    scene = jnp.asarray(rng.normal(size=(5, 128, 64)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(5, 5)).astype(np.float32))
     want = np.asarray(degrade(scene, kernel, factor=4))
     got = np.asarray(degrade_scene_sharded(scene, kernel, mesh, factor=4))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
@@ -39,18 +47,20 @@ def test_sharded_scene_shape_gate(mesh):
         degrade_scene_sharded(scene, jnp.ones((13, 13)), mesh, factor=8)
 
 
-@pytest.mark.slow  # unique shapes -> full 8-shard shard_map compile (~4 min)
+@pytest.mark.slow
 def test_degrade_scene_uneven_shapes(mesh, rng):
     """The shape-tolerant wrapper: H not a multiple of n_devices*factor
     (edge-replicated row padding), W with a sub-factor remainder (cropped,
-    matching the reference's flooring avg-pools)."""
+    matching the reference's flooring avg-pools). Small span: the
+    pad/crop arithmetic is span-independent and f=8/13x13 costs ~2 min
+    of 8-shard compile on this host."""
     from kmsr_tpu.parallel.spatial import degrade_scene
 
-    scene = jnp.asarray(rng.normal(5, 2, size=(5, 300, 137)).astype(np.float32))
-    kernel = jnp.asarray(rng.uniform(0, 1, size=(5, 13, 13)).astype(np.float32))
-    want = np.asarray(degrade(scene[:, :296, :136], kernel, factor=8))
-    got = np.asarray(degrade_scene(scene, kernel, mesh, factor=8))
-    assert got.shape == (5, 37, 17)
+    scene = jnp.asarray(rng.normal(5, 2, size=(5, 158, 69)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(5, 5, 5)).astype(np.float32))
+    want = np.asarray(degrade(scene[:, :156, :68], kernel, factor=4))
+    got = np.asarray(degrade_scene(scene, kernel, mesh, factor=4))
+    assert got.shape == (5, 39, 17)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
@@ -87,13 +97,13 @@ def test_sharded_small_kernel_matches_single_device(mesh, rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.slow  # unique shapes -> full 8-shard shard_map compile
+@pytest.mark.slow
 def test_sharded_scene_tiles_alias_maps_to_fast(mesh, rng):
     """The removed impl='tiles' name (round-2 configs) is accepted as an
     alias of the raw-slab fast path and reproduces the single-device
     degrade across the 8-way row sharding."""
-    scene = jnp.asarray(rng.normal(size=(1, 256, 32)).astype(np.float32))
-    kernel = jnp.asarray(rng.uniform(0, 1, size=(1, 13, 13)).astype(np.float32))
+    scene = jnp.asarray(rng.normal(size=(1, 96, 32)).astype(np.float32))
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(1, 5, 5)).astype(np.float32))
     want = np.asarray(degrade(scene, kernel, factor=4))
     got = np.asarray(
         degrade_scene_sharded(scene, kernel, mesh, factor=4, impl="tiles")

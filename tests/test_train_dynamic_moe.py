@@ -92,6 +92,7 @@ def test_train_dynamic_smoke(tmp_path, pool):
     assert k0.shape == (5, 13, 13)
 
 
+@pytest.mark.exhaustive  # canonical chunked-scan equivalence: test_single_chunked_scan + test_dynamic_chunked_scan
 def test_moe_chunked_scan(tmp_path, pool):
     """steps_per_call > 1 in the MoE trainer: the annealed temperature
     schedule rides the scan as per-step xs; artifacts still well-formed."""
@@ -144,6 +145,7 @@ def test_train_moe_smoke(tmp_path, pool):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.exhaustive  # canonical DP-mesh equivalence: test_sharded_matches_single_device (single-kernel step)
 def test_moe_dp_mesh_matches_single_device(tmp_path, pool):
     """DP over the 8-device CPU mesh: same host-RNG batch stream, so the
     learned bank must match the single-device run (gradient psum over the

@@ -106,6 +106,7 @@ def test_fleet_artifacts_and_intermediates(rng, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.exhaustive  # canonical mesh-fleet coverage: dryrun_multichip (every round) + test_dryrun_multichip_8
 def test_fleet_scene_sharded_matches_unsharded(rng, tmp_path):
     """Sharding the scene axis over the 8-device mesh reproduces the
     unsharded fleet (independent GANs -> no cross-device math)."""
@@ -227,6 +228,7 @@ def test_pick_scene_chunk_estimates():
 
 
 @pytest.mark.slow
+@pytest.mark.exhaustive  # canonical chunk coverage: test_fleet_chunked_matches_standalone_chunked
 def test_fleet_scene_chunk_matches_vmap(rng, tmp_path):
     """lax.map scene chunking reproduces the all-scenes-vmap fleet (both
     K=1 host-RNG and K>1 device-PRNG streams). Same draws, same per-scene
