@@ -187,7 +187,12 @@ def _degrade_slab(
         t -= 1
     s = t * factor
     nt = hs // s
-    if nt <= 1:
+    # s < ext: the next-band overlap slice [:, :, :ext] below can only
+    # supply s rows, silently producing 0-height conv outputs (caught on
+    # hardware by scripts/tpu_parity.py: prime out_rows forces t=1, so
+    # s=factor < ext for any kernel wider than 2*factor+1). The unbanded
+    # conv is the correct general fallback for such exotic shapes.
+    if nt <= 1 or s < ext:
         return depthwise_conv2d(xp[None], comp, stride=factor)[0]
     need = (nt + 1) * s
     if xp.shape[1] < need:  # rows beyond nt*s+ext are reshaped past, not read

@@ -87,6 +87,31 @@ def test_degrade_scene_cli(tmp_path, rng):
     assert np.isfinite(lr[:, 3:, 3:]).all()
 
 
+def test_degrade_slab_prime_out_rows_narrow_bands(rng):
+    """Regression (caught by scripts/tpu_parity.py on hardware): prime
+    out_rows forces the band height t down to 1, making the band stride
+    s=factor smaller than the kernel's row extension ext — the
+    next-band overlap slice then under-supplies rows and the banded
+    conv emits 0-height outputs. Such shapes must take the unbanded
+    fallback and match the direct strided conv."""
+    from kmsr_tpu.ops.degrade import compose_with_box, depthwise_conv2d
+    from kmsr_tpu.parallel.spatial import _degrade_slab
+
+    f, k = 4, 13  # ext = 12 > s = 4 when t collapses to 1
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(2, k, k)).astype(np.float32))
+    comp = compose_with_box(kernel, f)
+    ext = comp.shape[-1] - f
+    hs = 13 * f  # 13 output rows: prime
+    xp = jnp.asarray(
+        rng.normal(5, 2, size=(2, hs + ext, 48 + ext)).astype(np.float32)
+    )
+    want = depthwise_conv2d(xp[None], comp, stride=f)[0]
+    got = _degrade_slab(xp, comp, f, ext=ext)
+    assert got.shape == (2, 13, 12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_small_kernel_matches_single_device(mesh, rng):
     """Fast-tier sharded parity: a small tap lattice keeps the phase
     stencil's trace/compile cheap on the 8-device CPU mesh."""
