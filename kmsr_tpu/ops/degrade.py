@@ -163,6 +163,13 @@ def degrade_strided(
     return out[0] if squeeze else out
 
 
+#: im2col footprint cap for `degrade_batch_kernels` (bytes). One v5e
+#: chip has 16 GB of HBM; the factory's 128-file MoE batches at 256^2
+#: would materialize 28 GB of [B, C*K*K, H, W] patches unchunked
+#: (caught live: `fusion.1 f32[128,845,256,256]` OOM).
+_BATCH_KERNELS_IM2COL_CAP = 2 << 30
+
+
 def degrade_batch_kernels(
     img: jax.Array,
     kernels: jax.Array,
@@ -177,6 +184,12 @@ def degrade_batch_kernels(
     friendly einsum over extracted patches. `decimate` selects ::factor
     subsampling (MoE variant, `train_gemini.py:134`) instead of block mean.
 
+    Large batches are processed in `lax.map` chunks over the batch axis
+    so the im2col intermediate stays under ~2 GB (training batches are
+    untouched; the factory's 128-file device batches would otherwise
+    materialize tens of GB). The chunk loop is differentiable, so the
+    training path is unaffected semantically either way.
+
     NOTE (parity): the MoE variant uses zero ('SAME') padding, unlike the
     replicate padding of the single-kernel degrader; the default honors
     that. `padding="replicate"` selects the C_30/C_31 blur edge semantics
@@ -184,6 +197,21 @@ def degrade_batch_kernels(
     """
     b, c, h, w = img.shape
     kh, kw = kernels.shape[-2:]
+    per_sample = 4 * c * kh * kw * h * w  # im2col bytes per batch element
+    cb = b
+    if b > 1 and b * per_sample > _BATCH_KERNELS_IM2COL_CAP:
+        cb = max(min(int(_BATCH_KERNELS_IM2COL_CAP // per_sample), b), 1)
+        while b % cb:  # largest divisor of B at or under the cap
+            cb -= 1
+    if cb < b:
+        out = jax.lax.map(
+            lambda t: degrade_batch_kernels(
+                t[0], t[1], factor=factor, decimate=decimate, padding=padding
+            ),
+            (img.reshape(b // cb, cb, c, h, w),
+             kernels.reshape(b // cb, cb, c, kh, kw)),
+        )
+        return out.reshape(b, *out.shape[2:])
     if padding == "replicate":
         img = jnp.pad(
             img, ((0, 0), (0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),

@@ -131,3 +131,40 @@ def test_ops_package_imports_lazily():
     )
     assert r.returncode == 0, r.stderr[-1000:]
     assert r.stdout.strip().endswith("ok")
+
+
+def test_batch_kernels_chunked_matches_direct(rng):
+    """The im2col-footprint chunking in degrade_batch_kernels (lax.map
+    over batch chunks) must be bit-equal to the direct einsum for every
+    padding/decimate mode, including prime batch sizes and a cap below
+    one sample (regression: the factory's 128-file MoE batches at 256^2
+    tried to materialize a 28 GB [B, C*K*K, H, W] intermediate on a
+    16 GB chip)."""
+    import importlib
+
+    D = importlib.import_module("kmsr_tpu.ops.degrade")
+    img = jnp.asarray(rng.normal(5, 1, (12, 2, 32, 32)).astype(np.float32))
+    ks = jnp.asarray(rng.uniform(0, 1, (12, 2, 5, 5)).astype(np.float32))
+    cap0 = D._BATCH_KERNELS_IM2COL_CAP
+    try:
+        for pad in ("same", "replicate"):
+            for dec in (False, True):
+                D._BATCH_KERNELS_IM2COL_CAP = cap0
+                want = D.degrade_batch_kernels(
+                    img, ks, factor=4, decimate=dec, padding=pad)
+                D._BATCH_KERNELS_IM2COL_CAP = 900_000  # forces 4-row chunks
+                got = D.degrade_batch_kernels(
+                    img, ks, factor=4, decimate=dec, padding=pad)
+                np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # prime batch: largest divisor under the cap is 1
+        D._BATCH_KERNELS_IM2COL_CAP = 900_000
+        got11 = D.degrade_batch_kernels(img[:11], ks[:11], factor=4)
+        # cap below a single sample must not recurse forever
+        D._BATCH_KERNELS_IM2COL_CAP = 100
+        tiny = D.degrade_batch_kernels(img[:1], ks[:1], factor=4)
+        assert tiny.shape == (1, 2, 8, 8)
+        D._BATCH_KERNELS_IM2COL_CAP = cap0
+        want11 = D.degrade_batch_kernels(img[:11], ks[:11], factor=4)
+        np.testing.assert_array_equal(np.asarray(got11), np.asarray(want11))
+    finally:
+        D._BATCH_KERNELS_IM2COL_CAP = cap0

@@ -98,6 +98,7 @@ def test_train_loop_artifacts(tmp_path, small_pool):
 
 
 @pytest.mark.slow
+@pytest.mark.exhaustive  # strictly weaker than test_sharded_matches_single_device (same mesh+step, plus numeric equality)
 def test_train_step_sharded_8dev_mesh(small_pool):
     """DP over an 8-device CPU mesh: replicated params, sharded batch."""
     assert len(jax.devices()) == 8
