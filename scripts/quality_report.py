@@ -82,7 +82,12 @@ def main() -> int:
                               float(row["Eval_PSNR"]),
                               float(row["Eval_SSIM"])))
 
-    png = os.path.join(os.path.dirname(a.out) or ".", "quality_curve.png")
+    # curve PNG named after the report so x8/x4 reports don't clobber
+    # each other's figures (QUALITY.md -> quality_curve.png, kept)
+    stem = os.path.splitext(os.path.basename(a.out))[0]
+    png_name = ("quality_curve.png" if stem == "QUALITY"
+                else f"{stem.lower()}_curve.png")
+    png = os.path.join(os.path.dirname(a.out) or ".", png_name)
     try:
         import matplotlib
 
