@@ -13,8 +13,11 @@ This environment has no rasterio/GDAL, so this module carries its own
 minimal GeoTIFF reader (PIL for tags + cv2/PIL for pixels) and a
 closed-form UTM -> WGS84 inverse transverse-Mercator transform (WGS84
 ellipsoid, standard series — sub-meter accuracy), sufficient for Landsat
-C2 L1 products (north-up UTM). Rotated/exotic CRS rasters are rejected
-with a clear error.
+C2 L1 products. North-up rasters take a fast separable pixel-center path;
+rotated/sheared rasters take the general per-pixel affine path
+(x = a*col + b*row + c, y = d*col + e*row + f), matching the reference's
+general branch (A_00Landsat_cal_rad.py:134-143). Non-UTM CRS rasters are
+rejected with a clear error.
 """
 from __future__ import annotations
 
@@ -238,19 +241,25 @@ def calc_landsat_toa(
     if first is None:
         raise RuntimeError("no bands read")
     (a_, b_, c_, d_, e_, f_), epsg, (height, width) = first
-    if abs(b_) > 1e-12 or abs(d_) > 1e-12:
-        raise NotImplementedError(
-            "rotated/sheared rasters are not supported without rasterio"
-        )
     if epsg is None:
         raise ValueError("no EPSG code in GeoTIFF; cannot compute lat/lon")
     zone, northern = utm_epsg_to_zone(epsg)
-    # pixel centers
     cols = np.arange(width, dtype=np.float64) + 0.5
     rows = np.arange(height, dtype=np.float64) + 0.5
-    xs = c_ + cols * a_
-    ys = f_ + rows * e_
-    xg, yg = np.meshgrid(xs, ys)
+    if abs(b_) <= 1e-12 and abs(d_) <= 1e-12:
+        # fast north-up path: separable pixel centers, one meshgrid
+        # (A_00Landsat_cal_rad.py:119-133 equivalent)
+        xs = c_ + cols * a_
+        ys = f_ + rows * e_
+        xg, yg = np.meshgrid(xs, ys)
+    else:
+        # general rotated/sheared path: full per-pixel affine
+        # x = a*col + b*row + c, y = d*col + e*row + f
+        # (A_00Landsat_cal_rad.py:134-143 equivalent — the reference
+        # transforms every pixel center through the raster transform)
+        cg, rg = np.meshgrid(cols, rows)
+        xg = c_ + cg * a_ + rg * b_
+        yg = f_ + cg * d_ + rg * e_
     lon, lat = utm_to_wgs84(xg, yg, zone, northern)
 
     out_dir_path = Path(out_dir) if out_dir else Path("output/img/1_Lt/nc")

@@ -453,7 +453,9 @@ def phase_split_chwb(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("factor", "batch_tile", "interpret", "baked_halo"),
+    static_argnames=(
+        "factor", "batch_tile", "interpret", "baked_halo", "halo_rows",
+    ),
 )
 def degrade_pallas_presplit(
     xp: jax.Array,
@@ -463,6 +465,7 @@ def degrade_pallas_presplit(
     batch_tile: int | None = None,
     interpret: bool = False,
     baked_halo: bool = True,
+    halo_rows: int | None = None,
 ) -> jax.Array:
     """Fused degrade on PRE-SPLIT factory data (see `phase_split_chwb`).
 
@@ -483,6 +486,13 @@ def degrade_pallas_presplit(
     rows cost (f + 2)/f more input bytes at H=64/f=8 (+25% — measured
     to cost MORE than the permutation matmuls they save, which is why
     baked_halo=False exists).
+
+    halo_rows: with baked_halo=True, the halo depth the layout was built
+    with (`phase_split_chwb(..., halo_rows=...)`). The kernel cannot
+    infer this from the array shape alone — it derives the required
+    depth m from the composed kernel span, and a layout built with a
+    DIFFERENT depth would silently misinterpret real rows as halo rows.
+    Pass it whenever you control the split so a mismatch raises instead.
     """
     c, f, hrows, w, b = xp.shape
     if f != factor:
@@ -511,9 +521,25 @@ def degrade_pallas_presplit(
             f"{ksize} > {5 * factor}"
         )
     m = _col_halo(ksize, factor)
+    if baked_halo and halo_rows is not None and halo_rows != m:
+        raise ValueError(
+            f"presplit layout was built with halo_rows={halo_rows} but the "
+            f"composed span {ksize} at factor {factor} needs halo depth "
+            f"m={m}; rebuild with phase_split_chwb(..., halo_rows={m}) "
+            f"(or use baked_halo=False, which needs no halo rows)"
+        )
+    if not baked_halo and halo_rows not in (None, 0):
+        raise ValueError(
+            f"baked_halo=False expects a halo-free layout "
+            f"(phase_split_chwb(halo=False)); got halo_rows={halo_rows}"
+        )
     out_h = hrows - 2 * m if baked_halo else hrows
-    if baked_halo and out_h * factor > w * 64:  # sanity, not reachable
-        raise ValueError("inconsistent presplit layout")
+    if out_h < 1:
+        raise ValueError(
+            f"presplit layout has {hrows} row-blocks but the composed span "
+            f"{ksize} implies {2 * m} halo rows — no image rows remain "
+            f"(layout/kernel mismatch?)"
+        )
     grid = (c, b // batch_tile)
     in_specs = [
         pl.BlockSpec(
@@ -711,9 +737,10 @@ def degrade_pallas_chwb(
     version=None auto-selects: the pad-free v3 kernel (4.84M 64^2
     patches/s/chip on v5e — vs the v1/v2 route, which pays an XLA
     edge-pad + phase-split pre-pass at ~3x copy cost) whenever the
-    composed kernel span fits 3*factor; the dense-MXU v4 for wider
-    spans when its layout constraints hold (2.75x v2 at factor 4);
-    else v2.
+    composed kernel span fits 5*factor (the |q| <= 2 extended tap
+    lattice covers spans in (3f, 5f], e.g. the MoE factor-4 route);
+    the dense-MXU v4 for wider spans when its layout constraints hold
+    (2.75x v2 at factor 4); else v2.
 
     perm_mode (v3 only) sets the in-kernel column-permutation matmul's
     precision/passes trade: 'split3' (default, f32-exact, 3 one-pass

@@ -28,7 +28,7 @@ from ..data.sampler import list_patch_files
 from ..io.ncio import copy_file_with_groups, read_band_stack, write_band_stack
 from ..io.schema import GROUP_BLURRED, GROUP_DENOISED, RADIANCE_UNITS
 from ..ops.degrade import degrade_strided
-from .common import RunReport
+from .common import DeviceSyncGuard, RunReport
 
 
 def load_kernel(kernel_path: str, n_bands: int = 5) -> np.ndarray:
@@ -151,17 +151,22 @@ def apply_kernel_to_folder(
         except ImportError:
             pass
 
+    sync_guard = DeviceSyncGuard()
+
     def _writeback(valid, b, degraded_dev, experts_dev):
         # sync batch k after batch k+1 was dispatched: device compute +
         # D2H overlap the host-side file copies and .nc writes. JAX
         # dispatch is async, so a device-side runtime failure surfaces
         # HERE (not at fn(batch)) — catch it and fail this group's files
-        # instead of crashing the whole run.
+        # instead of crashing the whole run (unless the guard sees the
+        # device is persistently wedged, in which case abort loudly).
         try:
             degraded = np.asarray(degraded_dev)[:b]
             experts = np.asarray(experts_dev)[:b]
+            sync_guard.succeeded()
         except Exception as e:  # per-group failure isolation
             fail.extend((p, f"{type(e).__name__}: {e}") for p in valid)
+            sync_guard.failed(e)
             return
         for path, lr, expert in zip(valid, degraded, experts):
             try:

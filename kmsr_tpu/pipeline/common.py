@@ -69,6 +69,39 @@ def run_per_file(
     return RunReport(succeeded=ok, failed=fail, seconds=time.time() - t0)
 
 
+class DeviceSyncGuard:
+    """Escalate persistent device-sync failures into a run abort.
+
+    The pipelined writebacks (factory, apply_kernel, sr_infer) sync each
+    batch with np.asarray AFTER the next batch was dispatched, so
+    device-side runtime failures surface there; a single bad batch is
+    isolated per-file (reference failure-isolation contract). But a
+    permanently wedged device — or a programming error — would convert
+    EVERY remaining batch into per-file failures while the driver keeps
+    dispatching to a dead device. This guard re-raises after
+    `max_consecutive` whole-batch sync failures in a row so such runs
+    abort loudly instead of grinding to a 100%-failed report.
+    """
+
+    def __init__(self, max_consecutive: int = 3):
+        self.max_consecutive = max_consecutive
+        self._consecutive = 0
+
+    def succeeded(self) -> None:
+        self._consecutive = 0
+
+    def failed(self, exc: Exception) -> None:
+        """Record one whole-batch sync failure; re-raise when persistent."""
+        self._consecutive += 1
+        if self._consecutive >= self.max_consecutive:
+            raise RuntimeError(
+                f"{self._consecutive} consecutive whole-batch device syncs "
+                f"failed (last: {type(exc).__name__}: {exc}) — device wedged "
+                f"or programming error; aborting instead of failing every "
+                f"remaining batch"
+            ) from exc
+
+
 def chunked_reader(
     files: list,
     batch_size: int,

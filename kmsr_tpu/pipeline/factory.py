@@ -31,7 +31,7 @@ from ..io.ncio import read_band_stack, read_nav
 from ..io.schema import GROUP_DENOISED
 from ..pipeline.apply_kernel import load_kernel
 from ..pipeline.make_train_data import save_training_sample
-from .common import RunReport
+from .common import DeviceSyncGuard, RunReport
 
 
 def degrade_with_noise(
@@ -306,8 +306,10 @@ def run_factory(
 
     use_presplit = (
         input_format == "npy" and moe_path is None and backend == "pallas"
-        # presplit kernel needs composed span (kh + f - 1) <= 3f
-        and kernel.shape[-1] + factor - 1 <= 3 * factor
+        # presplit kernel supports composed spans (kh + f - 1) <= 5f (the
+        # |q| <= 2 extended tap lattice); the baked_halo=False layout used
+        # here is span-agnostic, so no halo-depth coupling to check
+        and kernel.shape[-1] + factor - 1 <= 5 * factor
         and bool(files)
     )
     shape = None
@@ -366,16 +368,21 @@ def run_factory(
                 )
             except ImportError:
                 pass
+        sync_guard = DeviceSyncGuard()
+
         def _writeback(paths, nat, b, lr_dev):
             # np.asarray is the sync point — materializing batch k here,
             # after batch k+1 was dispatched, overlaps device compute +
             # D2H with the host-side zlib .nc writes (one-deep pipeline).
             # Async dispatch also means device-side runtime failures
-            # surface here — fail the batch's files, don't crash the run.
+            # surface here — fail the batch's files, don't crash the run
+            # (unless the guard sees the device persistently wedged).
             try:
                 lr_batch = np.transpose(np.asarray(lr_dev), (3, 0, 1, 2))[:b]
+                sync_guard.succeeded()
             except Exception as e:  # per-batch failure isolation
                 fail.extend((p, f"{type(e).__name__}: {e}") for p in paths)
+                sync_guard.failed(e)
                 return
             for path, hr, lr in zip(paths, nat, lr_batch):
                 try:
@@ -442,16 +449,21 @@ def run_factory(
             )
         except ImportError:
             pass
+    sync_guard = DeviceSyncGuard()
+
     def _writeback(valid, hr_batch, lr_dev, experts_dev):
         # np.asarray syncs batch k AFTER batch k+1 was dispatched: device
         # compute + D2H overlap the host-side nav reads and zlib .nc
         # writes. Device-side runtime failures surface at this sync (async
-        # dispatch) — fail this batch's files, don't crash the run.
+        # dispatch) — fail this batch's files, don't crash the run
+        # (unless the guard sees the device persistently wedged).
         try:
             lr_batch = np.asarray(lr_dev)
             experts = np.asarray(experts_dev)
+            sync_guard.succeeded()
         except Exception as e:  # per-batch failure isolation
             fail.extend((p, f"{type(e).__name__}: {e}") for p in valid)
+            sync_guard.failed(e)
             return
         for path, hr, lr, expert in zip(valid, hr_batch, lr_batch, experts):
             try:

@@ -24,7 +24,7 @@ from ..io.schema import GROUP_HR, GROUP_LR
 from ..models.sr import SRConfig, init_sr, sr_forward
 from ..ops.metrics import psnr, ssim
 from ..utils.params_io import load_params
-from .common import RunReport
+from .common import DeviceSyncGuard, RunReport
 
 
 def load_sr_model(model_path: str, cfg: SRConfig) -> dict:
@@ -67,15 +67,20 @@ def sr_infer_folder(
             )
         except ImportError:
             pass
+    sync_guard = DeviceSyncGuard()
+
     def _writeback(valid, b, preds_dev):
         # sync batch k after batch k+1 was dispatched: the SR forward +
         # D2H overlap host file copies, .nc writes and PSNR/SSIM evals.
         # Async dispatch means device-side runtime failures surface at
-        # this materialization — fail the group, don't crash the run.
+        # this materialization — fail the group, don't crash the run
+        # (unless the guard sees the device is persistently wedged).
         try:
             preds = np.asarray(preds_dev)[:b]
+            sync_guard.succeeded()
         except Exception as e:  # per-group failure isolation
             fail.extend((p, f"{type(e).__name__}: {e}") for p in valid)
+            sync_guard.failed(e)
             return
         for path, pred in zip(valid, preds):
             try:

@@ -366,3 +366,58 @@ def test_presplit_bf16_storage(rng):
     assert got.dtype == np.float32
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 2e-2, rel
+
+
+def test_presplit_halo_rows_mismatch_raises(rng):
+    """A baked-halo layout built with the WRONG halo depth for the kernel
+    span must raise when the caller declares halo_rows, instead of
+    silently misreading real rows as halo (ADVICE r3 medium)."""
+    from kmsr_tpu.ops.degrade_pallas import (
+        degrade_pallas_presplit,
+        phase_split_chwb,
+    )
+
+    x = jnp.asarray(rng.normal(5, 2, size=(2, 32, 32, 8)).astype(np.float32))
+    # span-16 kernel at factor 4 needs halo depth m=2
+    kernel = jnp.asarray(rng.uniform(0, 1, size=(2, 13, 13)).astype(np.float32))
+    xp_bad = phase_split_chwb(x, factor=4, halo_rows=1)
+    with pytest.raises(ValueError, match="halo_rows=1"):
+        degrade_pallas_presplit(xp_bad, kernel, factor=4, batch_tile=8,
+                                interpret=True, halo_rows=1)
+    # declaring the matching depth passes through
+    xp_ok = phase_split_chwb(x, factor=4, halo_rows=2)
+    got = np.asarray(
+        degrade_pallas_presplit(xp_ok, kernel, factor=4, batch_tile=8,
+                                interpret=True, halo_rows=2)
+    )
+    want = np.asarray(
+        degrade_pallas_presplit(xp_ok, kernel, factor=4, batch_tile=8,
+                                interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+    # halo-free layouts take no halo_rows
+    xn = phase_split_chwb(x, factor=4, halo=False)
+    with pytest.raises(ValueError, match="halo-free"):
+        degrade_pallas_presplit(xn, kernel, factor=4, batch_tile=8,
+                                interpret=True, baked_halo=False,
+                                halo_rows=1)
+
+
+def test_presplit_no_rows_remaining_raises(rng):
+    """A layout whose row-blocks are all consumed by the derived halo
+    depth (kernel/layout mismatch) raises instead of emitting a
+    zero-height output."""
+    from kmsr_tpu.ops.degrade_pallas import (
+        degrade_pallas_presplit,
+        phase_split_chwb,
+    )
+
+    x = jnp.asarray(rng.normal(5, 2, size=(2, 8, 32, 8)).astype(np.float32))
+    kernel = jnp.asarray(
+        rng.uniform(0, 1, size=(2, 13, 13)).astype(np.float32))
+    # H=8 at factor 4 -> 2 image row-blocks; halo_rows=1 bakes 2 halo
+    # rows; span 16 derives m=2 -> 4 claimed halo rows > 4 total
+    xp = phase_split_chwb(x, factor=4, halo_rows=1)
+    with pytest.raises(ValueError, match="no image rows remain"):
+        degrade_pallas_presplit(xp, kernel, factor=4, batch_tile=8,
+                                interpret=True)

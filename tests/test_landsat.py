@@ -23,14 +23,25 @@ END_GROUP = LANDSAT_METADATA_FILE
 """
 
 
-def write_geotiff(path, data, origin=(300000.0, 4000000.0), pixel=30.0, epsg=32652):
-    """Minimal GeoTIFF writer via PIL tags (scale + tiepoint + geokeys)."""
+def write_geotiff(path, data, origin=(300000.0, 4000000.0), pixel=30.0, epsg=32652,
+                  transform=None):
+    """Minimal GeoTIFF writer via PIL tags (scale + tiepoint + geokeys).
+
+    With `transform` (a,b,c,d,e,f GDAL-style), writes a full
+    ModelTransformation matrix (rotated/sheared rasters) instead of the
+    scale+tiepoint pair (north-up only).
+    """
     from PIL import Image, TiffImagePlugin
 
     img = Image.fromarray(data)
     info = TiffImagePlugin.ImageFileDirectory_v2()
-    info[33550] = (pixel, pixel, 0.0)
-    info[33922] = (0.0, 0.0, 0.0, origin[0], origin[1], 0.0)
+    if transform is not None:
+        a, b, c, d, e, f = transform
+        info[34264] = (a, b, 0.0, c, d, e, 0.0, f,
+                       0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+    else:
+        info[33550] = (pixel, pixel, 0.0)
+        info[33922] = (0.0, 0.0, 0.0, origin[0], origin[1], 0.0)
     # GeoKeyDirectory: version 1.1.0, 1 key: ProjectedCSTypeGeoKey=epsg
     info[34735] = (1, 1, 0, 1, 3072, 0, 1, epsg)
     img.save(path, tiffinfo=info)
@@ -114,6 +125,78 @@ def test_calc_landsat_toa_reflectance(landsat_scene, tmp_path):
     sin_el = np.sin(np.radians(35.5))
     want = (2.0e-05 * dn1.astype(np.float32) - 0.1) / sin_el
     np.testing.assert_allclose(b[0][1:], want[1:], rtol=1e-5)
+
+
+def _make_scene(tmp_path, rng, name, transform=None, size=16):
+    scene = tmp_path / name
+    scene.mkdir()
+    (scene / f"{name}_MTL.txt").write_text(MTL)
+    dn = rng.integers(1, 65535, size=(size, size)).astype(np.uint16)
+    write_geotiff(scene / f"{name}_B1.TIF", dn, transform=transform)
+    return scene, dn
+
+
+def test_calc_landsat_toa_rotated_90(tmp_path, rng):
+    """A raster whose affine is the north-up affine composed with a pure
+    90° rotation about the pixel-center grid's centroid covers the SAME
+    physical points, permuted — so the rotated path's lat/lon grids must
+    equal a permutation of the north-up path's (VERDICT r3 item 2;
+    reference general branch A_00Landsat_cal_rad.py:134-143)."""
+    from kmsr_tpu.io import read_band_stack
+
+    n = 16
+    c0, f0, px = 300000.0, 4000000.0, 30.0
+    scene_nu, _ = _make_scene(tmp_path, rng, "LC08_nu", size=n)
+    # pixel-center grid centroid
+    pxc = c0 + px * n / 2
+    pyc = f0 - px * n / 2
+    # T'(col,row) = R_ccw90(T(col,row) - P) + P with R(dx,dy) = (-dy, dx):
+    # x' = Px + Py - f0 + px*row ; y' = Py - Px + c0 + px*col
+    rot = (0.0, px, pxc + pyc - f0, px, 0.0, pyc - pxc + c0)
+    scene_rot, _ = _make_scene(tmp_path, rng, "LC08_rot", transform=rot, size=n)
+
+    out_nu = calc_landsat_toa(str(scene_nu), [1], out_dir=str(tmp_path / "a"))
+    out_rot = calc_landsat_toa(str(scene_rot), [1], out_dir=str(tmp_path / "b"))
+    nav_nu = read_band_stack(out_nu, "navigation_data",
+                             band_names=["latitude", "longitude"],
+                             fill_to_nan=False)
+    nav_rot = read_band_stack(out_rot, "navigation_data",
+                              band_names=["latitude", "longitude"],
+                              fill_to_nan=False)
+    # rotated pixel (row, col) lands on north-up pixel (n-1-col, row)
+    for band in range(2):
+        want = nav_nu[band][n - 1 - np.arange(n)[None, :],
+                            np.arange(n)[:, None]]
+        np.testing.assert_allclose(nav_rot[band], want, atol=1e-5)
+
+
+def test_calc_landsat_toa_rotated_affine_centers(tmp_path, rng):
+    """Arbitrary-angle rotated raster: the written lat/lon must match
+    utm_to_wgs84 of independently computed affine pixel centers
+    (x = a·col + b·row + c, y = d·col + e·row + f at col+0.5, row+0.5)."""
+    from kmsr_tpu.io import read_band_stack
+
+    n = 12
+    th = np.radians(30.0)
+    a, b = 30.0 * np.cos(th), 30.0 * np.sin(th)
+    d, e = 30.0 * np.sin(th), -30.0 * np.cos(th)
+    c, f = 300000.0, 4000000.0
+    scene, _ = _make_scene(tmp_path, rng, "LC08_r30",
+                           transform=(a, b, c, d, e, f), size=n)
+    out = calc_landsat_toa(str(scene), [1], out_dir=str(tmp_path / "c"))
+    nav = read_band_stack(out, "navigation_data",
+                          band_names=["latitude", "longitude"],
+                          fill_to_nan=False)
+    cols = np.arange(n) + 0.5
+    rows = np.arange(n) + 0.5
+    cg, rg = np.meshgrid(cols, rows)
+    lon, lat = utm_to_wgs84(c + cg * a + rg * b, f + cg * d + rg * e,
+                            zone=52, northern=True)
+    np.testing.assert_allclose(nav[0], lat, atol=1e-5)
+    np.testing.assert_allclose(nav[1], lon, atol=1e-5)
+    # the grid is genuinely rotated: lon varies along BOTH axes
+    assert np.abs(np.diff(nav[1], axis=0)).max() > 1e-5
+    assert np.abs(np.diff(nav[1], axis=1)).max() > 1e-5
 
 
 def test_calibrate_cli(landsat_scene, tmp_path, capsys):

@@ -283,3 +283,22 @@ def test_apply_kernel_mixed_shape_chunks(tmp_path, rng):
 
     shapes = sorted(rbs(p, "blurred").shape for p in sorted(out.glob("*.nc")))
     assert shapes == [(5, 4, 4), (5, 4, 4), (5, 6, 6)]
+
+
+def test_device_sync_guard_aborts_when_persistent():
+    """Per-batch sync-failure isolation must escalate to a run abort
+    after N consecutive whole-batch failures (wedged device / programming
+    error), instead of grinding through every remaining batch
+    (ADVICE r3 low)."""
+    import pytest
+
+    from kmsr_tpu.pipeline.common import DeviceSyncGuard
+
+    g = DeviceSyncGuard(max_consecutive=3)
+    g.failed(RuntimeError("boom"))
+    g.failed(RuntimeError("boom"))
+    g.succeeded()  # a success resets the streak
+    g.failed(RuntimeError("boom"))
+    g.failed(RuntimeError("boom"))
+    with pytest.raises(RuntimeError, match="3 consecutive"):
+        g.failed(RuntimeError("boom"))
