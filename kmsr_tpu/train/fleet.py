@@ -146,19 +146,42 @@ def make_fleet_chunk_step(cfg: SingleKernelConfig, mesh=None,
     base = make_base_step(cfg)
     bs, k_steps = cfg.batch_size, cfg.steps_per_call
 
-    def one(state, pool_dev, n_pool):
-        def body(st, _):
-            rng, k_hr, k_cr = jax.random.split(st.rng, 3)
-            hr_idx = jax.random.randint(k_hr, (bs,), 0, n_pool)
-            cr_idx = jax.random.randint(k_cr, (bs,), 0, n_pool)
-            st = dataclasses.replace(st, rng=rng)
-            return base(
-                st,
-                jnp.take(pool_dev, hr_idx, axis=0),
-                jnp.take(pool_dev, cr_idx, axis=0),
-            )
+    if cfg.real_is_lr:
+        # real side gathers from a SEPARATE per-scene native-LR pool
+        # (the standalone trainer rejects lr_pool with K>1 because its
+        # lr_pool path samples on host; the fleet's pools are always
+        # HBM-resident, so device-PRNG sampling extends naturally)
+        def one(state, pool_dev, lr_dev, n_pool, n_lr):
+            def body(st, _):
+                rng, k_hr, k_cr = jax.random.split(st.rng, 3)
+                hr_idx = jax.random.randint(k_hr, (bs,), 0, n_pool)
+                cr_idx = jax.random.randint(k_cr, (bs,), 0, n_lr)
+                st = dataclasses.replace(st, rng=rng)
+                return base(
+                    st,
+                    jnp.take(pool_dev, hr_idx, axis=0),
+                    jnp.take(lr_dev, cr_idx, axis=0),
+                )
 
-        return jax.lax.scan(body, state, None, length=k_steps)
+            return jax.lax.scan(body, state, None, length=k_steps)
+
+        n_in = 5
+    else:
+        def one(state, pool_dev, n_pool):
+            def body(st, _):
+                rng, k_hr, k_cr = jax.random.split(st.rng, 3)
+                hr_idx = jax.random.randint(k_hr, (bs,), 0, n_pool)
+                cr_idx = jax.random.randint(k_cr, (bs,), 0, n_pool)
+                st = dataclasses.replace(st, rng=rng)
+                return base(
+                    st,
+                    jnp.take(pool_dev, hr_idx, axis=0),
+                    jnp.take(pool_dev, cr_idx, axis=0),
+                )
+
+            return jax.lax.scan(body, state, None, length=k_steps)
+
+        n_in = 3
 
     vstep = jax.vmap(one)
     if scene_chunk is not None:
@@ -168,7 +191,7 @@ def make_fleet_chunk_step(cfg: SingleKernelConfig, mesh=None,
         vstep = shard_map(
             vstep,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis)),
+            in_specs=(P(axis),) * n_in,
             out_specs=P(axis),
             **_VMA_KW,
         )
@@ -189,12 +212,29 @@ def make_fleet_step(cfg: SingleKernelConfig, mesh=None,
     the partitioner cannot split that grouped conv across devices.)"""
     base = make_base_step(cfg)
 
-    def one(state, pool_dev, hr_idx, crop_idx):
-        return base(
-            state,
-            jnp.take(pool_dev, hr_idx, axis=0),
-            jnp.take(pool_dev, crop_idx, axis=0),
-        )
+    if cfg.real_is_lr:
+        # crop_idx gathers from the per-scene native-LR pool; the base
+        # step (cfg.real_is_lr) then uses those patches as-is — same
+        # contract as the standalone trainer's lr_pool path
+        # (`single_kernel/train.py:261-268` real-side sampling, which
+        # the fleet must not narrow)
+        def one(state, pool_dev, lr_dev, hr_idx, crop_idx):
+            return base(
+                state,
+                jnp.take(pool_dev, hr_idx, axis=0),
+                jnp.take(lr_dev, crop_idx, axis=0),
+            )
+
+        n_in = 5
+    else:
+        def one(state, pool_dev, hr_idx, crop_idx):
+            return base(
+                state,
+                jnp.take(pool_dev, hr_idx, axis=0),
+                jnp.take(pool_dev, crop_idx, axis=0),
+            )
+
+        n_in = 4
 
     vstep = jax.vmap(one)
     if scene_chunk is not None:
@@ -204,7 +244,7 @@ def make_fleet_step(cfg: SingleKernelConfig, mesh=None,
         vstep = shard_map(
             vstep,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(axis),) * n_in,
             out_specs=P(axis),
             **_VMA_KW,
         )
@@ -218,6 +258,7 @@ def train_fleet(
     mesh=None,
     progress: bool = True,
     scene_chunk: Optional[int] = None,
+    lr_pools: Optional[Sequence[PatchPool]] = None,
 ) -> dict:
     """Train one KernelGAN per pool, all simultaneously.
 
@@ -237,6 +278,15 @@ def train_fleet(
     SCENE axis is sharded over it (len(pools) must be a multiple of the
     mesh size; no collectives; composes with either K).
 
+    lr_pools (with cfg.real_is_lr): one pool of GENUINE native-LR
+    patches per scene, at cfg.lr_crop_size — the scientifically right
+    real side for the cross-sensor task (standalone contract:
+    `single_kernel/train.py:257-268`). Each scene's D sees its own LR
+    pool; stacked along the same scene axis and sharded identically.
+    A K=1 real_is_lr fleet matches a standalone real_is_lr run at
+    seed+s; K>1 uses per-scene device-PRNG draws (the standalone
+    trainer has no K>1 lr_pool mode — it samples lr_pool on host).
+
     Returns {"scene_names", "kernel_per_band" [S,C,kH,kW],
     "kernel_merged" [S,kH,kW], "state", "log_files"}.
     """
@@ -244,7 +294,22 @@ def train_fleet(
     if s_total == 0:
         raise ValueError("train_fleet needs at least one pool")
     if cfg.real_is_lr:
-        raise ValueError("real_is_lr is not supported in fleet mode")
+        if lr_pools is None:
+            raise ValueError(
+                "real_is_lr=True needs lr_pools (one pool of native-LR "
+                f"patches per scene at lr_crop_size={cfg.lr_crop_size})"
+            )
+        if len(lr_pools) != s_total:
+            raise ValueError(
+                f"lr_pools has {len(lr_pools)} pools for {s_total} scenes"
+            )
+        if lr_pools[0].patches.shape[-1] != cfg.lr_crop_size:
+            raise ValueError(
+                f"real_is_lr=True needs lr_pools patches at lr_crop_size="
+                f"{cfg.lr_crop_size}, got {lr_pools[0].patches.shape[-1]}"
+            )
+    elif lr_pools is not None:
+        raise ValueError("lr_pools given but cfg.real_is_lr is False")
     k_steps = cfg.steps_per_call
     if k_steps > 1:
         from .state import check_scan_intervals
@@ -270,13 +335,21 @@ def train_fleet(
          for s in range(s_total)]
     )
     stacked, sizes = _stack_pools(pools)
+    lr_stacked, lr_sizes = (
+        _stack_pools(lr_pools) if cfg.real_is_lr else (None, None)
+    )
 
     ckpt_dir = os.path.join(cfg.outdir, "ckpt")
     state, start_iter = maybe_resume(cfg, state, ckpt_dir,
                                      announce=cfg.verbose)
 
     sizes_dev = jnp.asarray(np.asarray(sizes, np.int32))
+    lr_sizes_dev = (
+        jnp.asarray(np.asarray(lr_sizes, np.int32)) if cfg.real_is_lr
+        else None
+    )
     put = jnp.asarray
+    lr_pool_dev = None
     if mesh is not None:
         axis = mesh.axis_names[0]
         n_dev = mesh.shape[axis]
@@ -291,9 +364,14 @@ def train_fleet(
         pool_dev = jax.device_put(stacked, shard)
         sizes_dev = jax.device_put(sizes_dev, shard)
         state = jax.device_put(state, shard)
+        if cfg.real_is_lr:
+            lr_pool_dev = jax.device_put(lr_stacked, shard)
+            lr_sizes_dev = jax.device_put(lr_sizes_dev, shard)
         put = lambda a: jax.device_put(a, shard)  # noqa: E731
     else:
         pool_dev = jnp.asarray(stacked)
+        if cfg.real_is_lr:
+            lr_pool_dev = jnp.asarray(lr_stacked)
 
     s_local = s_total if mesh is None else s_total // mesh.shape[mesh.axis_names[0]]
     if scene_chunk is None:
@@ -367,22 +445,36 @@ def train_fleet(
             pass
 
     metrics = None
+    crop_sizes = lr_sizes if cfg.real_is_lr else sizes
     for t in iterator:
         if k_steps > 1:
-            state, ms = step_fn(state, pool_dev, sizes_dev)
+            if cfg.real_is_lr:
+                state, ms = step_fn(state, pool_dev, lr_pool_dev,
+                                    sizes_dev, lr_sizes_dev)
+            else:
+                state, ms = step_fn(state, pool_dev, sizes_dev)
             log_rows.append((t + 2 - k_steps, ms))
             # per-scene values at the chunk's LAST iteration
             metrics = jax.tree_util.tree_map(lambda a: a[:, -1], ms)
         else:
+            # same per-scene host-RNG draw order as a standalone run at
+            # seed+s: hr indices from the HR pool size, crop indices from
+            # the crop-source pool size (the LR pool under real_is_lr —
+            # `PatchPool.sample`'s integers draw)
             hr_l, crop_l = [], []
             for s, r in enumerate(host_rngs):
                 hr_l.append(r.integers(0, sizes[s], size=cfg.batch_size))
-                crop_l.append(r.integers(0, sizes[s], size=cfg.batch_size))
-            state, metrics = step_fn(
-                state, pool_dev,
+                crop_l.append(
+                    r.integers(0, crop_sizes[s], size=cfg.batch_size))
+            idx_args = (
                 put(np.stack(hr_l).astype(np.int32)),
                 put(np.stack(crop_l).astype(np.int32)),
             )
+            if cfg.real_is_lr:
+                state, metrics = step_fn(state, pool_dev, lr_pool_dev,
+                                         *idx_args)
+            else:
+                state, metrics = step_fn(state, pool_dev, *idx_args)
             log_rows.append((t + 1, metrics))
 
         if (t + 1) % cfg.log_every == 0:

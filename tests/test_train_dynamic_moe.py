@@ -171,6 +171,71 @@ def test_moe_dp_mesh_matches_single_device(tmp_path, pool):
     )
 
 
+def test_dynamic_dp_mesh_matches_single_device(tmp_path, pool):
+    """Dynamic trainer DP over the 8-device CPU mesh == single device
+    (VERDICT r3 item 5 — this trainer had no mesh equivalence test).
+    Small geometry (3,3 layer sizes -> 5x5 effective kernel, factor 4)
+    keeps the SPMD compile cheap enough for the default tier."""
+    from kmsr_tpu.parallel import make_mesh
+
+    def cfg(tag):
+        return DynamicTrainConfig(
+            iters=2, batch_size=8, hr_patch_size=32, lr_crop_size=8,
+            log_every=2, kernel_log_every=100, device_pool=False,
+            outdir=str(tmp_path / tag), verbose=False,
+            model=DynamicConfig(mid_ch=4, ks=(3, 3), factor=4),
+            discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+        )
+
+    out_single = train_dynamic(pool, cfg("single"), progress=False)
+    mesh = make_mesh(axis_names=("data",))
+    out_dp = train_dynamic(pool, cfg("dp"), progress=False, mesh=mesh)
+    # same host-RNG batch stream; DP gradient psum == single-device batch
+    # gradient, so params (incl. the learned log-sigma) must agree
+    np.testing.assert_allclose(
+        out_single["kernel_per_band"], out_dp["kernel_per_band"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_single["state"].g_params["noise"]["log_sigma"]),
+        np.asarray(out_dp["state"].g_params["noise"]["log_sigma"]),
+        atol=1e-6,
+    )
+
+
+def test_moe_dp_mesh_smoke_small(tmp_path, pool):
+    """Default-tier MoE DP-mesh smoke (VERDICT r3 item 5): small bank +
+    small kernel over the 8-device mesh — Gumbel draws and the selector's
+    BN batch stats run under a sharded batch; equivalence vs single
+    device on the learned bank. (The full-geometry equivalence stays in
+    the exhaustive tier below.)"""
+    from kmsr_tpu.parallel import make_mesh
+
+    def cfg(tag):
+        return MoETrainConfig(
+            iters=2, batch_size=8, hr_patch_size=32, lr_crop_size=8,
+            log_every=2, device_pool=False,
+            outdir=str(tmp_path / tag), verbose=False,
+            model=MoEConfig(n_kernels=2, kernel_size=5),
+            discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+        )
+
+    out_single = train_moe(pool, cfg("single"), progress=False)
+    mesh = make_mesh(axis_names=("data",))
+    out_dp = train_moe(pool, cfg("dp"), progress=False, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(out_single["state"].g_params["kernel_bank"]),
+        np.asarray(out_dp["state"].g_params["kernel_bank"]),
+        atol=1e-5,
+    )
+    # BN running stats (selector state) must also agree: under DP the
+    # batch mean/var are computed over the GLOBAL batch via psum
+    bn_s = np.asarray(
+        out_single["state"].d_state["moe"]["selector"]["bn_mean"][0])
+    bn_d = np.asarray(
+        out_dp["state"].d_state["moe"]["selector"]["bn_mean"][0])
+    np.testing.assert_allclose(bn_s, bn_d, atol=1e-6)
+
+
 def test_dynamic_log_header_names_noise_reg(tmp_path, pool):
     """The dynamic trainer's 4th CSV column is the NOISE regularizer and
     the header must say so (review finding: it reused the single-kernel
