@@ -64,7 +64,7 @@ def _median_step(step, state, args, iters: int, warmup: int = 3):
     return (times[len(times) // 2], times[0], times[-1]), state
 
 
-def main() -> int:
+def run() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -139,15 +139,17 @@ def main() -> int:
     # a dispatch advances every scene k_steps iterations
     scene_iters = s_total * k_steps / t_fleet
     speedup = s_total * t_single / t_fleet
+    import sys
+
     print(
         f"# single-scene dispatch (K={k_steps}, fwd={fwd}):"
         f" {t_single * 1e3:.2f} ms"
         f" | fleet[{s_total}] dispatch: {t_fleet * 1e3:.2f} ms"
         f" | {scene_iters:.1f} scene-iters/s"
         f" | {speedup:.2f}x vs serial",
-        flush=True,
+        file=sys.stderr, flush=True,
     )
-    print(json.dumps({
+    return {
         "metric": "fleet_scene_iters_per_s",
         "value": round(scene_iters, 2),
         "unit": "scene-iters/s",
@@ -156,7 +158,11 @@ def main() -> int:
             "min": round(s_total * k_steps / t_hi, 2),
             "max": round(s_total * k_steps / t_lo, 2),
         },
-    }))
+    }
+
+
+def main() -> int:
+    print(json.dumps(run()))
     return 0
 
 
