@@ -107,6 +107,7 @@ def chunked_reader(
     batch_size: int,
     read_fn: Callable,
     lookahead: int = 2,
+    timer: Optional[str] = None,
 ):
     """Yield (valid_paths, stacks, failures) per chunk, with the NEXT
     chunk's file reads running on a background thread while the caller
@@ -115,9 +116,19 @@ def chunked_reader(
     apply_kernel, sr_infer) use. Per-file failure isolation preserved;
     chunks are yielded strictly in order so seeded RNG streams match the
     synchronous path.
+
+    timer: optional `utils.profiling.stage_timer` scope name accumulated
+    around each file read (BACKGROUND-thread busy time — it overlaps the
+    caller's device compute, so it is not additive with main-thread
+    scopes; `bench_pipeline.py` reports it as such).
     """
     import queue
     import threading
+
+    if timer is not None:
+        from ..utils.profiling import stage_timer
+    else:
+        stage_timer = None
 
     q: "queue.Queue" = queue.Queue(maxsize=lookahead)
 
@@ -127,7 +138,11 @@ def chunked_reader(
             stacks, valid, fail = [], [], []
             for path in chunk:
                 try:
-                    stacks.append(read_fn(path))
+                    if stage_timer is not None:
+                        with stage_timer(timer):
+                            stacks.append(read_fn(path))
+                    else:
+                        stacks.append(read_fn(path))
                     valid.append(path)
                 except Exception as e:
                     fail.append((path, str(e)))

@@ -121,24 +121,28 @@ def batch_denoise(
             except ImportError:
                 pass
 
+        from ..utils.profiling import stage_timer
+
         def _writeback(uniform, odd, handle):
             # finalize blocks on chunk k's sweep AFTER chunk k+1 was
             # dispatched: the 529-shift device sweep overlaps the host's
             # zlib .nc writes and per-file fallbacks (one-deep pipeline)
             if handle is not None:
                 try:
-                    den, sig = denoise_batch_finalize(handle)
-                    for (path, stack), d, s in zip(uniform, den, sig):
-                        try:
-                            ok.append(
-                                _write_denoised(
-                                    path, output_dir, stack, d,
-                                    list(map(float, s)), h_factor,
-                                    verbose=False,
+                    with stage_timer("denoise.device_sync"):
+                        den, sig = denoise_batch_finalize(handle)
+                    with stage_timer("denoise.host_write"):
+                        for (path, stack), d, s in zip(uniform, den, sig):
+                            try:
+                                ok.append(
+                                    _write_denoised(
+                                        path, output_dir, stack, d,
+                                        list(map(float, s)), h_factor,
+                                        verbose=False,
+                                    )
                                 )
-                            )
-                        except Exception as e:
-                            fail.append((path, str(e)))
+                            except Exception as e:
+                                fail.append((path, str(e)))
                 except Exception:
                     odd = uniform + odd  # sweep failed: per-file fallback
             for path, _stack in odd:
@@ -154,12 +158,13 @@ def batch_denoise(
         for start in iterator:
             chunk = files[start : start + device_batch]
             stacks, valid_paths = [], []
-            for path in chunk:
-                try:
-                    stacks.append(read_band_stack(path, GROUP_GEO))
-                    valid_paths.append(path)
-                except Exception as e:
-                    fail.append((path, str(e)))
+            with stage_timer("denoise.host_read"):
+                for path in chunk:
+                    try:
+                        stacks.append(read_band_stack(path, GROUP_GEO))
+                        valid_paths.append(path)
+                    except Exception as e:
+                        fail.append((path, str(e)))
             if not stacks:
                 continue
             shape0 = stacks[0].shape

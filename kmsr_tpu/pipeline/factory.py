@@ -31,6 +31,7 @@ from ..io.ncio import read_band_stack, read_nav
 from ..io.schema import GROUP_DENOISED
 from ..pipeline.apply_kernel import load_kernel
 from ..pipeline.make_train_data import save_training_sample
+from ..utils.profiling import stage_timer
 from .common import DeviceSyncGuard, RunReport
 
 
@@ -378,20 +379,25 @@ def run_factory(
             # surface here — fail the batch's files, don't crash the run
             # (unless the guard sees the device persistently wedged).
             try:
-                lr_batch = np.transpose(np.asarray(lr_dev), (3, 0, 1, 2))[:b]
+                with stage_timer("factory.device_sync"):
+                    lr_batch = np.transpose(
+                        np.asarray(lr_dev), (3, 0, 1, 2))[:b]
                 sync_guard.succeeded()
             except Exception as e:  # per-batch failure isolation
                 fail.extend((p, f"{type(e).__name__}: {e}") for p in paths)
                 sync_guard.failed(e)
                 return
-            for path, hr, lr in zip(paths, nat, lr_batch):
-                try:
-                    base = os.path.splitext(os.path.basename(path))[0]
-                    out_path = os.path.join(output_dir, f"{base}_train.nc")
-                    save_training_sample(out_path, hr, lr, None)
-                    ok.append(out_path)
-                except Exception as e:
-                    fail.append((path, str(e)))
+            with stage_timer("factory.host_write"):
+                for path, hr, lr in zip(paths, nat, lr_batch):
+                    try:
+                        base = os.path.splitext(
+                            os.path.basename(path))[0]
+                        out_path = os.path.join(
+                            output_dir, f"{base}_train.nc")
+                        save_training_sample(out_path, hr, lr, None)
+                        ok.append(out_path)
+                    except Exception as e:
+                        fail.append((path, str(e)))
 
         pending = None
         for paths, xp, nat, chunk_fail in batches:
@@ -438,7 +444,8 @@ def run_factory(
             return a
         return read_band_stack(p, in_group)
 
-    reader = chunked_reader(files, batch_size, _read)
+    reader = chunked_reader(files, batch_size, _read,
+                            timer="factory.host_read_bg")
     if progress:
         try:
             from tqdm import tqdm
@@ -458,28 +465,30 @@ def run_factory(
         # dispatch) — fail this batch's files, don't crash the run
         # (unless the guard sees the device persistently wedged).
         try:
-            lr_batch = np.asarray(lr_dev)
-            experts = np.asarray(experts_dev)
+            with stage_timer("factory.device_sync"):
+                lr_batch = np.asarray(lr_dev)
+                experts = np.asarray(experts_dev)
             sync_guard.succeeded()
         except Exception as e:  # per-batch failure isolation
             fail.extend((p, f"{type(e).__name__}: {e}") for p in valid)
             sync_guard.failed(e)
             return
-        for path, hr, lr, expert in zip(valid, hr_batch, lr_batch, experts):
-            try:
-                base = os.path.splitext(os.path.basename(path))[0]
-                out_path = os.path.join(output_dir, f"{base}_train.nc")
-                nav = read_nav(path) if input_format == "nc" else None
-                save_training_sample(
-                    out_path, hr, lr, nav or None,
-                    lr_attrs=(
-                        {"moe_expert": int(expert)}  # selection provenance
-                        if moe_path is not None else None
-                    ),
-                )
-                ok.append(out_path)
-            except Exception as e:
-                fail.append((path, str(e)))
+        with stage_timer("factory.host_write"):
+            for path, hr, lr, expert in zip(valid, hr_batch, lr_batch, experts):
+                try:
+                    base = os.path.splitext(os.path.basename(path))[0]
+                    out_path = os.path.join(output_dir, f"{base}_train.nc")
+                    nav = read_nav(path) if input_format == "nc" else None
+                    save_training_sample(
+                        out_path, hr, lr, nav or None,
+                        lr_attrs=(
+                            {"moe_expert": int(expert)}  # selection provenance
+                            if moe_path is not None else None
+                        ),
+                    )
+                    ok.append(out_path)
+                except Exception as e:
+                    fail.append((path, str(e)))
 
     pending = None
     for valid, stacks, chunk_fail in reader:

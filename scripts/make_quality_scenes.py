@@ -79,13 +79,13 @@ def make_scene(rng: np.random.Generator, size: int) -> np.ndarray:
     return scene
 
 
-def main() -> int:
+def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("outdir")
     p.add_argument("--n", type=int, default=8)
     p.add_argument("--size", type=int, default=896)
     p.add_argument("--seed", type=int, default=20260819)
-    a = p.parse_args()
+    a = p.parse_args(argv)
 
     import sys
 
