@@ -32,6 +32,15 @@ def main() -> int:
     p.add_argument("--upsampler", default="progressive")
     p.add_argument("--config", default="configs/quality_x8.json")
     p.add_argument("--out", default="docs/QUALITY.md")
+    p.add_argument("--no-oracle", action="store_true",
+                   help="skip the known-kernel deconvolution ceiling row")
+    p.add_argument("--kernel", default=None,
+                   help="factory kernel .npy for the oracle (default: the "
+                        "config's kernel_file)")
+    p.add_argument("--moe-dir", default=None,
+                   help="MoE artifacts dir: the oracle uses each holdout "
+                        "patch's recorded expert kernel (lr moe_expert attr)")
+    p.add_argument("--oracle-iters", type=int, default=100)
     a = p.parse_args()
 
     import jax.numpy as jnp
@@ -71,6 +80,49 @@ def main() -> int:
     print(f"SR      psnr={sr_p:.2f} ssim={sr_s:.4f}")
     print(f"bilinear psnr={bl_p:.2f} ssim={bl_s:.4f}")
     print(f"delta   psnr=+{sr_p - bl_p:.2f} dB ssim=+{sr_s - bl_s:.4f}")
+
+    # ---- known-kernel deconvolution ceiling (VERDICT r3 item 8) --------
+    oracle = None
+    if not a.no_oracle:
+        from kmsr_tpu.analysis.oracle import oracle_sweep
+        from kmsr_tpu.pipeline.apply_kernel import load_kernel
+
+        if a.moe_dir:
+            # per-patch expert kernels, as recorded by the factory
+            from kmsr_tpu.data.sampler import list_patch_files
+            from kmsr_tpu.io.ncio import NCFile
+
+            hold_files = list_patch_files(a.pairs, "*.nc")[-a.holdout:]
+            experts = []
+            for fpath in hold_files:
+                with NCFile(fpath, "r") as nc:
+                    experts.append(int(nc.get_attrs(group="lr")["moe_expert"]))
+            bank = {
+                e: np.load(os.path.join(a.moe_dir, f"kernel_{e}.npy"))
+                for e in sorted(set(experts))
+            }
+            oracle_kernel = np.stack([bank[e] for e in experts])
+            kernel_desc = (f"per-patch expert kernels from {a.moe_dir} "
+                           f"(selection attr; {len(bank)} distinct)")
+        else:
+            kpath = a.kernel
+            if kpath is None:
+                import json as _json
+
+                kpath = _json.load(open(a.config))["kernel_file"]
+            oracle_kernel = load_kernel(kpath, n_bands=hr_v.shape[1])
+            kernel_desc = kpath
+        best_lam, orc_pred, per_lam = oracle_sweep(
+            lr_v, hr_v, oracle_kernel, a.factor, iters=a.oracle_iters,
+        )
+        orc_rows = [metrics(orc_pred[i], hr_v[i]) for i in range(a.holdout)]
+        orc_p, orc_s = np.asarray(orc_rows).mean(axis=0)
+        gap = orc_p - bl_p
+        closed = (sr_p - bl_p) / gap * 100.0 if gap > 0 else float("nan")
+        oracle = dict(p=orc_p, s=orc_s, lam=best_lam, closed=closed,
+                      per_lam=per_lam, desc=kernel_desc)
+        print(f"oracle  psnr={orc_p:.2f} ssim={orc_s:.4f} (lam={best_lam}) "
+              f"-> SR closes {closed:.0f}% of the oracle-bilinear gap")
 
     # training curve from the CSV written by train_sr
     curve = []
@@ -155,7 +207,33 @@ def main() -> int:
         f"| bilinear x{a.factor} | {bl_p:.2f} | {bl_s:.4f} |",
         f"| kmsr_tpu SR | **{sr_p:.2f}** | **{sr_s:.4f}** |",
         f"| delta | +{sr_p - bl_p:.2f} | +{sr_s - bl_s:.4f} |",
+    ] + ([
+        f"| known-kernel oracle | {oracle['p']:.2f} | {oracle['s']:.4f} |",
         "",
+        "## Oracle ceiling",
+        "",
+        "The oracle row is Tikhonov-regularized deconvolution",
+        "(`kmsr_tpu.analysis.oracle`) given knowledge the SR network does",
+        "NOT have: the exact factory degradation operator — the known",
+        f"kernel ({oracle['desc']})",
+        "with the production replicate-pad blur + block-mean downsample —",
+        "solved by CG on the normal equations, with the Tikhonov weight",
+        f"swept and the best holdout PSNR kept (lam={oracle['lam']:g};",
+        "sweep: "
+        + ", ".join(f"{k:g}->{v:.2f}dB"
+                    for k, v in sorted(oracle["per_lam"].items()))
+        + ").",
+        "It bounds what ANY method could recover from these LR patches.",
+        "",
+        f"**The SR model closes {oracle['closed']:.0f}% of the",
+        f"oracle-bilinear gap** (+{sr_p - bl_p:.2f} of",
+        f"+{oracle['p'] - bl_p:.2f} dB) without being told the kernel —",
+        "the remaining margin is the measured headroom, not an",
+        "information-theoretic wall.",
+        "",
+    ] if oracle else [
+        "",
+    ]) + [
         "## Training curve (holdout PSNR/SSIM per eval, from "
         "`sr_run/training_log.csv`)",
         "",
