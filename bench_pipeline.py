@@ -55,6 +55,12 @@ def main(argv=None) -> int:
                    help="data-manufacture DAG only (cut..check_shapes)")
     p.add_argument("--keep", action="store_true",
                    help="keep the workdir (default: deleted on success)")
+    p.add_argument("--resume", action="store_true",
+                   help="reuse an existing workdir: completed stages skip "
+                        "via their run_all markers and report their "
+                        "RECORDED seconds (tunnel-wedge recovery; a resumed "
+                        "total is stitched across sessions — noted in the "
+                        "output)")
     a = p.parse_args(argv)
 
     from kmsr_tpu.utils.cache import enable_persistent_cache
@@ -62,7 +68,7 @@ def main(argv=None) -> int:
 
     enable_persistent_cache()
 
-    if os.path.exists(a.workdir):
+    if os.path.exists(a.workdir) and not a.resume:
         shutil.rmtree(a.workdir)
     scenes_dir = os.path.join(a.workdir, "scenes")
     work = os.path.join(a.workdir, "work")
@@ -74,8 +80,9 @@ def main(argv=None) -> int:
     import make_quality_scenes
 
     t0 = time.time()
-    make_quality_scenes.main([scenes_dir, "--n", str(a.scenes),
-                              "--size", str(a.size)])
+    if not (a.resume and os.path.isdir(scenes_dir)):
+        make_quality_scenes.main([scenes_dir, "--n", str(a.scenes),
+                                  "--size", str(a.size)])
     t_gen = time.time() - t0
 
     # 2. the committed config, retargeted at the fresh workdir
@@ -91,8 +98,17 @@ def main(argv=None) -> int:
 
     from kmsr_tpu.pipeline.run_all import run_pipeline
 
-    timings = run_pipeline(config)
+    timings = run_pipeline(config, resume=a.resume)
     scopes = timing_report()
+    stitched = []
+    if a.resume:
+        # stages skipped via markers report their RECORDED wall seconds
+        for mf in glob.glob(os.path.join(work, ".stages", "*.json")):
+            with open(mf, encoding="utf-8") as f:
+                m = json.load(f)
+            if m["stage"] not in timings:
+                timings[m["stage"]] = m["seconds"]
+                stitched.append(m["stage"])
 
     data_stages = [s for s in ("calibrate", "cut", "denoise", "noise_pool",
                                "factory", "apply_kernel", "make_train_data",
@@ -124,6 +140,7 @@ def main(argv=None) -> int:
         "train_stage_seconds": {
             s: round(timings[s], 1) for s in train_stages
         },
+        "stitched_stages": stitched,  # non-empty = cross-session resume
         "backend": _backend(),
     }
     print(json.dumps(result))

@@ -11,4 +11,4 @@ python -m kmsr_tpu.pipeline.run_all --config configs/quality_x8.json --resume
 python scripts/quality_report.py \
     --pairs quality_run/work/train_pairs \
     --sr quality_run/work/sr_run \
-    --holdout 24 --out docs/QUALITY.md
+    --holdout 24 --width 64 --n-blocks 8 --out docs/QUALITY.md
