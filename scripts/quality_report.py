@@ -41,6 +41,9 @@ def main() -> int:
                    help="MoE artifacts dir: the oracle uses each holdout "
                         "patch's recorded expert kernel (lr moe_expert attr)")
     p.add_argument("--oracle-iters", type=int, default=100)
+    p.add_argument("--noise-pool", default=None,
+                   help="noise pool .npy for the matched-Wiener oracle "
+                        "prior (default: <pairs>/../noise_pool.npy)")
     a = p.parse_args()
 
     import jax.numpy as jnp
@@ -87,6 +90,13 @@ def main() -> int:
         from kmsr_tpu.analysis.oracle import oracle_sweep
         from kmsr_tpu.pipeline.apply_kernel import load_kernel
 
+        noise_var = None
+        pool_path = a.noise_pool or os.path.join(
+            os.path.dirname(os.path.abspath(a.pairs)), "noise_pool.npy")
+        if os.path.exists(pool_path):
+            pool = np.load(pool_path)
+            noise_var = np.nanvar(pool, axis=(0, 2, 3))
+
         if a.moe_dir:
             # per-patch expert kernels, as recorded by the factory
             from kmsr_tpu.data.sampler import list_patch_files
@@ -112,17 +122,39 @@ def main() -> int:
                 kpath = _json.load(open(a.config))["kernel_file"]
             oracle_kernel = load_kernel(kpath, n_bands=hr_v.shape[1])
             kernel_desc = kpath
-        best_lam, orc_pred, per_lam = oracle_sweep(
+        sweeps = {}
+        sweeps["grad"] = oracle_sweep(
             lr_v, hr_v, oracle_kernel, a.factor, iters=a.oracle_iters,
         )
-        orc_rows = [metrics(orc_pred[i], hr_v[i]) for i in range(a.holdout)]
-        orc_p, orc_s = np.asarray(orc_rows).mean(axis=0)
+        if noise_var is not None:
+            # matched Wiener/LMMSE prior: spectrum from the TRAIN pairs
+            # (never the eval holdout), noise variance from the pool
+            sweeps["matched"] = oracle_sweep(
+                lr_v, hr_v, oracle_kernel, a.factor, iters=a.oracle_iters,
+                prior="matched", noise_var=noise_var,
+                spec_examples=hr_all[: n - a.holdout],
+            )
+        stats = {}
+        for name, (best_lam, orc_pred, per_lam) in sweeps.items():
+            rows = [metrics(orc_pred[i], hr_v[i]) for i in range(a.holdout)]
+            op, os_ = np.asarray(rows).mean(axis=0)
+            stats[name] = dict(p=op, s=os_, lam=best_lam, per_lam=per_lam)
+            print(f"oracle[{name}] psnr={op:.2f} ssim={os_:.4f} "
+                  f"(lam={best_lam:g})")
+        best_name = max(stats, key=lambda k: stats[k]["p"])
+        orc_p, orc_s = stats[best_name]["p"], stats[best_name]["s"]
         gap = orc_p - bl_p
         closed = (sr_p - bl_p) / gap * 100.0 if gap > 0 else float("nan")
-        oracle = dict(p=orc_p, s=orc_s, lam=best_lam, closed=closed,
-                      per_lam=per_lam, desc=kernel_desc)
-        print(f"oracle  psnr={orc_p:.2f} ssim={orc_s:.4f} (lam={best_lam}) "
-              f"-> SR closes {closed:.0f}% of the oracle-bilinear gap")
+        oracle = dict(p=orc_p, s=orc_s, lam=stats[best_name]["lam"],
+                      closed=closed, per_lam=stats[best_name]["per_lam"],
+                      desc=kernel_desc, best_name=best_name, stats=stats,
+                      beyond=sr_p - orc_p)
+        if gap > 0:
+            print(f"-> SR closes {closed:.0f}% of the oracle-bilinear gap")
+        else:
+            print(f"-> linear ceiling saturated: best linear oracle "
+                  f"{orc_p:.2f} <= bilinear {bl_p:.2f}; SR exceeds it "
+                  f"by +{sr_p - orc_p:.2f} dB (beyond-linear gain)")
 
     # training curve from the CSV written by train_sr
     curve = []
@@ -208,30 +240,57 @@ def main() -> int:
         f"| kmsr_tpu SR | **{sr_p:.2f}** | **{sr_s:.4f}** |",
         f"| delta | +{sr_p - bl_p:.2f} | +{sr_s - bl_s:.4f} |",
     ] + ([
-        f"| known-kernel oracle | {oracle['p']:.2f} | {oracle['s']:.4f} |",
+        f"| best known-kernel linear oracle ({oracle['best_name']}) "
+        f"| {oracle['p']:.2f} | {oracle['s']:.4f} |",
         "",
-        "## Oracle ceiling",
+        "## Oracle bound (best linear reconstruction, known kernel)",
         "",
-        "The oracle row is Tikhonov-regularized deconvolution",
+        "The oracle row is regularized known-kernel deconvolution",
         "(`kmsr_tpu.analysis.oracle`) given knowledge the SR network does",
         "NOT have: the exact factory degradation operator — the known",
         f"kernel ({oracle['desc']})",
         "with the production replicate-pad blur + block-mean downsample —",
-        "solved by CG on the normal equations, with the Tikhonov weight",
-        f"swept and the best holdout PSNR kept (lam={oracle['lam']:g};",
-        "sweep: "
-        + ", ".join(f"{k:g}->{v:.2f}dB"
-                    for k, v in sorted(oracle["per_lam"].items()))
-        + ").",
-        "It bounds what ANY method could recover from these LR patches.",
+        "solved by CG on the normal equations. Two priors are swept and",
+        "the best holdout PSNR kept:",
         "",
+    ] + [
+        "- **{name}**: best {p:.2f} dB at lam={lam:g} (sweep: {sw})".format(
+            name=name, p=st["p"], lam=st["lam"],
+            sw=", ".join(f"{k:g}->{v:.2f}"
+                         for k, v in sorted(st["per_lam"].items())))
+        for name, st in oracle["stats"].items()
+    ] + [
+        "",
+        "\"grad\" is gradient-Tikhonov smoothness; \"matched\" is the",
+        "Wiener/LMMSE prior — per-band noise variance measured from the",
+        "empirical pool and the signal spectrum estimated from the TRAIN",
+        "pairs' HR patches (the eval holdout is never touched) — i.e. the",
+        "optimal LINEAR estimator for this operator under stationary",
+        "second-order statistics, with its global weight mu swept around",
+        "the theory-matched value 1.",
+        "",
+    ] + ([
         f"**The SR model closes {oracle['closed']:.0f}% of the",
         f"oracle-bilinear gap** (+{sr_p - bl_p:.2f} of",
         f"+{oracle['p'] - bl_p:.2f} dB) without being told the kernel —",
         "the remaining margin is the measured headroom, not an",
         "information-theoretic wall.",
         "",
-    ] if oracle else [
+    ] if oracle["p"] > bl_p else [
+        f"**Finding: the linear information channel is saturated.** The",
+        f"best known-kernel linear reconstruction ({oracle['p']:.2f} dB)",
+        f"does not beat plain bilinear ({bl_p:.2f} dB): at this",
+        "decimation and noise level, everything a linear estimator can",
+        "recover is already recovered by smoothing — sharpening only",
+        "amplifies pool noise. The learned SR nevertheless reaches",
+        f"{sr_p:.2f} dB, i.e. **+{oracle['beyond']:.2f} dB beyond the",
+        "best linear oracle even though the oracle knows the kernel and",
+        "the SR model does not**. The SR margin is therefore entirely",
+        "non-linear, learned-prior gain (content-adaptive denoising +",
+        "deconvolution), not headroom a better linear pipeline could",
+        "close.",
+        "",
+    ]) if oracle else [
         "",
     ]) + [
         "## Training curve (holdout PSNR/SSIM per eval, from "

@@ -19,6 +19,10 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(score)).all()
 
 
+@pytest.mark.exhaustive  # canonical: the driver executes dryrun_multichip(N)
+# on a virtual mesh EVERY round and records MULTICHIP_r{N}.json (ok: true)
+# — in-suite it costs ~124 s of shard_map compiles on the 1-core host, so
+# the default tier keeps only the single-chip entry() compile
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 

@@ -64,6 +64,48 @@ def test_oracle_consistent_with_forward(rng):
     assert rel < 1e-2, rel
 
 
+def test_matched_prior_weights(rng):
+    """matched_prior: DC unpenalized, weights positive, noise scaling
+    carried through both terms."""
+    from kmsr_tpu.analysis.oracle import matched_prior
+
+    hr = rng.normal(5, 1, (6, 2, 16, 16)).astype(np.float32)
+    nvar = np.array([0.5, 2.0])
+    w, inv_n = matched_prior(hr, nvar)
+    assert w.shape == (2, 16, 16) and inv_n.shape == (2,)
+    assert w[0, 0, 0] == 0.0 and w[1, 0, 0] == 0.0
+    assert (w >= 0).all() and np.isfinite(w).all()
+    np.testing.assert_allclose(inv_n, [2.0, 0.5])
+    # doubling the noise variance doubles the prior weight (sigma^2/S)
+    w2, _ = matched_prior(hr, 2 * nvar)
+    np.testing.assert_allclose(w2, 2 * w, rtol=1e-5)
+
+
+def test_oracle_sweep_matched_prior_runs(rng):
+    """matched sweep on noisy blur+x4: finite preds, interior bookkeeping
+    identical to the grad sweep's contract."""
+    yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 32),
+                         indexing="ij")
+    hr = np.stack([5 + np.sin(8 * xx) * np.cos(6 * yy)
+                   for _ in range(2)]).astype(np.float32)
+    hr = hr[None].repeat(4, axis=0)
+    kernel = _gauss_kernel(2, 5)
+    lr = np.stack([
+        np.asarray(degrade(jnp.asarray(h), jnp.asarray(kernel), factor=4))
+        + rng.normal(0, 0.05, (2, 8, 8)).astype(np.float32)
+        for h in hr
+    ])
+    best, preds, per_lam = oracle_sweep(
+        lr[2:], hr[2:], kernel, 4, lams=(0.3, 3.0), iters=40,
+        prior="matched", noise_var=np.array([0.0025, 0.0025]),
+        spec_examples=hr[:2],
+    )
+    assert best in (0.3, 3.0)
+    assert preds.shape == hr[2:].shape
+    assert np.isfinite(preds).all()
+    assert per_lam[best] == max(per_lam.values())
+
+
 def test_oracle_sweep_picks_best_lam(rng):
     yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 32),
                          indexing="ij")
