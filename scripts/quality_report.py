@@ -276,6 +276,20 @@ def main() -> int:
         "the remaining margin is the measured headroom, not an",
         "information-theoretic wall.",
         "",
+    ] if bl_p < oracle["p"] and sr_p <= oracle["p"] else [
+        "**Finding: the SR model EXCEEDS the best known-kernel linear",
+        f"oracle by +{oracle['beyond']:.2f} dB** ({sr_p:.2f} vs",
+        f"{oracle['p']:.2f}; the oracle itself is only",
+        f"+{oracle['p'] - bl_p:.2f} dB over bilinear). At this",
+        "decimation and noise level the linear channel is nearly",
+        "saturated — a linear estimator that knows the exact kernel",
+        "recovers almost nothing beyond smoothing before it starts",
+        "amplifying pool noise. The SR margin over bilinear is",
+        "therefore dominated by non-linear, learned-prior gain",
+        "(content-adaptive denoising + deconvolution), which no",
+        "better linear pipeline could replicate: the model does not",
+        "leave oracle headroom on the table — it is past the oracle.",
+        "",
     ] if oracle["p"] > bl_p else [
         f"**Finding: the linear information channel is saturated.** The",
         f"best known-kernel linear reconstruction ({oracle['p']:.2f} dB)",
@@ -295,6 +309,12 @@ def main() -> int:
     ]) + [
         "## Training curve (holdout PSNR/SSIM per eval, from "
         "`sr_run/training_log.csv`)",
+        "",
+        "Note: the curve's PSNR uses a holdout-GLOBAL data range",
+        "(`train/sr.py::evaluate_sr`) while the results table above uses",
+        "the stricter per-patch range, so the curve reads ~0.5 dB higher",
+        "than the table for the same model; each column is",
+        "self-consistent.",
         "",
         "| iteration | PSNR | SSIM |",
         "|---|---|---|",
