@@ -121,7 +121,11 @@ def test_pallas_bf16_input_storage(rng):
     assert not np.allclose(b16, f32, atol=1e-5)  # but not parity-grade
 
 
-@pytest.mark.parametrize("mode", ["split3", "split2", "highest"])
+@pytest.mark.parametrize("mode", [
+    "split3",
+    pytest.param("split2", marks=pytest.mark.exhaustive),  # canonical: split3 (same bf16-term machinery, one fewer pass)
+    "highest",
+])
 def test_pallas_v3_perm_modes_match(rng, mode):
     """The bf16-term split permutation matmuls (2-3 one-pass MXU ops)
     must match the XLA oracle as tightly as the 6-pass HIGHEST matmul:

@@ -79,6 +79,7 @@ def test_run_all_cli_roundtrip(tmp_path, scenes):
 
 
 @pytest.mark.slow
+@pytest.mark.exhaustive  # canonical: test_run_all_dag (DAG mechanics) + test_per_scene_kernels.py + test_train_fleet.py (fleet route)
 def test_run_all_fleet_trainer_per_scene_kernels(tmp_path, scenes):
     """trainer='fleet' is the reference's ACTUAL workflow — one kernel per
     scene — end-to-end: the fleet trainer writes <scene>/kernel_per_band.npy
@@ -113,6 +114,7 @@ def test_run_all_rejects_bad_trainer(tmp_path, scenes):
 
 
 @pytest.mark.slow
+@pytest.mark.exhaustive  # canonical: test_run_all_dag (DAG mechanics) + test_factory_moe_mode + test_train_moe_smoke (moe route)
 def test_run_all_moe_trainer_content_adaptive_factory(tmp_path, scenes):
     """trainer='moe' routes the fused factory through --moe (selector-
     routed expert kernels) instead of a single kernel artifact."""

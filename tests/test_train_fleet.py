@@ -187,6 +187,7 @@ def test_fleet_real_is_lr_matches_standalone(rng, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.exhaustive  # canonical: test_fleet_real_is_lr_matches_standalone (real_is_lr) + test_fleet_chunked_matches_standalone_chunked (chunking)
 def test_fleet_real_is_lr_chunked_runs(rng, tmp_path):
     """K>1 real_is_lr fleet (device-PRNG hr/crop draws from separate
     pool sizes — no standalone twin exists: the standalone trainer's
@@ -259,6 +260,7 @@ def test_fleet_resume(rng, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.exhaustive  # canonical: test_fleet_artifacts_and_intermediates (same run via the library) + test_fleet_rejects_bad_args (argv surface)
 def test_fleet_cli(rng, tmp_path):
     from kmsr_tpu.pipeline.train_fleet_cli import main
 
