@@ -91,3 +91,25 @@ def noise_reg_loss(
     if mode == "l1":
         return jnp.mean(jnp.abs(sigma - t))
     return jnp.mean((sigma - t) ** 2)
+
+
+def load_balance_loss(weights: jax.Array) -> jax.Array:
+    """Switch-style auxiliary load-balance loss on routing weights [B, K].
+
+    K * sum_k f_k * P_k with f_k the (stop-gradient) fraction of the batch
+    hard-routed to expert k and P_k the mean soft routing probability.
+    Equals 1 at uniform routing and approaches K when every sample routes
+    to one expert, so minimizing it pushes the selector's probability mass
+    off overloaded experts. The reference has no such term
+    (`train_gemini.py:182,195` trains soft Gumbel only, and its shipped
+    `moe_kernels/` bank is measurably collapsed — pairwise kernel L2 mean
+    0.003); this is the opt-in mitigation (`MoETrainConfig.balance_weight`)
+    for bank collapse on degradation-homogeneous data.
+    """
+    k = weights.shape[-1]
+    hard = jax.nn.one_hot(
+        jnp.argmax(weights, axis=-1), k, dtype=weights.dtype
+    )
+    f = jax.lax.stop_gradient(jnp.mean(hard, axis=0))
+    p = jnp.mean(weights, axis=0)
+    return k * jnp.sum(f * p)

@@ -47,6 +47,11 @@ def main(argv=None) -> int:
         help="warm-start selector+banks from a checkpoint: the reference's "
              "torch moe_model.pth or this framework's moe_model.npz",
     )
+    p.add_argument("--balance-weight", type=float, default=0.0,
+                   help="weight of the Switch-style load-balance aux loss "
+                        "(0 = reference behavior: soft Gumbel only, which "
+                        "collapses the bank on degradation-homogeneous "
+                        "data; see losses.load_balance_loss)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
     p.add_argument("--trace", default=None, metavar="DIR",
@@ -67,6 +72,7 @@ def main(argv=None) -> int:
         model=MoEConfig(
             n_kernels=a.n_kernels, kernel_size=a.kernel_size, factor=a.factor
         ),
+        balance_weight=a.balance_weight,
         outdir=a.outdir,
         steps_per_call=a.steps_per_call,
         ckpt_every=a.ckpt_every,

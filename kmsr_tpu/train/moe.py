@@ -22,7 +22,12 @@ import numpy as np
 import optax
 
 from ..data.sampler import PatchPool
-from ..losses import lsgan_d_loss, lsgan_g_loss, per_band_kernel_regularization
+from ..losses import (
+    load_balance_loss,
+    lsgan_d_loss,
+    lsgan_g_loss,
+    per_band_kernel_regularization,
+)
 from ..models.discriminator import (
     DiscriminatorConfig,
     discriminator_forward,
@@ -59,6 +64,11 @@ class MoETrainConfig:
     reg_weights: dict = dataclasses.field(
         default_factory=lambda: dict(alpha=0.5, beta=0.5, gamma=5.0, delta=1.0)
     )
+    balance_weight: float = 0.0  # >0: add the Switch-style load-balance
+    #   aux loss (`losses.load_balance_loss`) to the G objective — opt-in
+    #   mitigation for selector/bank collapse on degradation-homogeneous
+    #   data (the reference has no such term and its shipped bank is
+    #   itself collapsed; see PARITY.md 2.7)
     model: MoEConfig = dataclasses.field(default_factory=MoEConfig)
     discriminator: DiscriminatorConfig = dataclasses.field(
         default_factory=DiscriminatorConfig
@@ -114,9 +124,11 @@ def make_moe_train_step(cfg: MoETrainConfig, device_pool: bool = False) -> Calla
             reg = per_band_kernel_regularization(
                 avg_kernel, cfg.reg_weights, center_max=False
             )
-            return adv + reg, (st, new_moe_state, adv, reg, weights)
+            bal = load_balance_loss(weights)
+            total = adv + reg + cfg.balance_weight * bal
+            return total, (st, new_moe_state, adv, reg, bal, weights)
 
-        (loss_g, (d_disc_state, new_moe_state, adv, reg, weights)), g_grads = (
+        (loss_g, (d_disc_state, new_moe_state, adv, reg, bal, weights)), g_grads = (
             jax.value_and_grad(g_loss_fn, has_aux=True)(moe_params, d_disc_state)
         )
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, moe_params)
@@ -138,6 +150,7 @@ def make_moe_train_step(cfg: MoETrainConfig, device_pool: bool = False) -> Calla
             "loss_D": loss_d,
             "loss_G_adv": adv,
             "loss_reg": reg,
+            "loss_balance": bal,
             "selection": selection,
         }
         return new_state, metrics

@@ -220,6 +220,25 @@ def test_noise_reg():
     assert float(noise_reg_loss(s, 0.0, mode="l1")) == pytest.approx(0.6)
 
 
+def test_load_balance_loss_range_and_gradient():
+    """Switch-style aux loss: 1 at uniform routing, K when collapsed; its
+    gradient through the SOFT probabilities pushes mass OFF the expert
+    the whole batch hard-routes to (the collapse-mitigation contract)."""
+    from kmsr_tpu.losses import load_balance_loss
+
+    uniform = jnp.full((8, 10), 0.1)
+    assert float(load_balance_loss(uniform)) == pytest.approx(1.0)
+    collapsed = jnp.zeros((8, 10)).at[:, 3].set(1.0)
+    assert float(load_balance_loss(collapsed)) == pytest.approx(10.0)
+    # near-collapsed soft weights: d(loss)/d(w[:, 3]) > 0 (penalized),
+    # all other experts' soft mass has zero grad (their f_k = 0)
+    w = jnp.full((8, 10), 0.02).at[:, 3].set(0.82)
+    g = jax.grad(lambda x: load_balance_loss(x))(w)
+    assert (np.asarray(g)[:, 3] > 0).all()
+    other = np.asarray(g)[:, [c for c in range(10) if c != 3]]
+    np.testing.assert_allclose(other, 0.0, atol=1e-7)
+
+
 def test_compose_forward_matches_chain_interior(rng):
     """forward_mode="compose" (one depthwise conv with the composed kernel)
     must equal the chain everywhere except the 6px reflect-padding rim —

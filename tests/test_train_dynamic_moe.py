@@ -145,6 +145,36 @@ def test_train_moe_smoke(tmp_path, pool):
     np.testing.assert_array_equal(got, want)
 
 
+def test_moe_balance_weight_plumbed(tmp_path, pool):
+    """balance_weight>0 adds the Switch-style aux loss to the G step:
+    the metric is reported, finite, in [1, K], and the full trainer runs
+    (collapse-mitigation flag; reference behavior is balance_weight=0)."""
+    from kmsr_tpu.train.moe import init_moe_training, make_moe_train_step
+
+    cfg = MoETrainConfig(
+        iters=2,
+        batch_size=2,
+        hr_patch_size=32,
+        lr_crop_size=8,
+        log_every=2,
+        balance_weight=0.05,
+        outdir=str(tmp_path / "moe_bal"),
+        verbose=False,
+        model=MoEConfig(n_kernels=4),
+        discriminator=DiscriminatorConfig(base_ch=8, num_blocks=1),
+    )
+    step, _ = make_moe_train_step(cfg)
+    state = init_moe_training(cfg)
+    hr = jax.numpy.asarray(pool.patches[:2])
+    new_state, metrics = step(state, hr, hr, jax.numpy.asarray(5.0))
+    assert "loss_balance" in metrics
+    bal = float(metrics["loss_balance"])
+    assert np.isfinite(bal) and 1.0 - 1e-5 <= bal <= 4.0 + 1e-5
+    out = train_moe(pool, cfg, progress=False)
+    k = np.load(tmp_path / "moe_bal" / "kernel_0.npy")
+    np.testing.assert_allclose(k.sum(axis=(1, 2)), 1.0, rtol=1e-4)
+
+
 @pytest.mark.exhaustive  # canonical DP-mesh equivalence: test_sharded_matches_single_device (single-kernel step)
 def test_moe_dp_mesh_matches_single_device(tmp_path, pool):
     """DP over the 8-device CPU mesh: same host-RNG batch stream, so the
