@@ -64,7 +64,7 @@ def main(argv=None) -> int:
     a = p.parse_args(argv)
 
     from kmsr_tpu.utils.cache import enable_persistent_cache
-    from kmsr_tpu.utils.profiling import timing_report
+    from kmsr_tpu.utils.profiling import detect_sync_stall, timing_report
 
     enable_persistent_cache()
 
@@ -123,6 +123,16 @@ def main(argv=None) -> int:
         if any(name.startswith(k) for k in ("denoise.", "factory.")):
             split[name] = round(rec["total_s"], 2)
 
+    # wedged-session self-disqualification (VERDICT r4 item 1): a stage
+    # blocked on device_sync far beyond its host work means the tunnel /
+    # device stalled mid-run — the throughput number is then an incident
+    # artifact, not a measurement, and must never become the headline
+    stall_flags = detect_sync_stall(scopes, timings)
+    if stall_flags:
+        print(f"[bench_pipeline] TAINTED: device-sync stall detected in "
+              f"{[f['stage'] for f in stall_flags]} — this JSON is an "
+              f"incident record, not a clean measurement", file=sys.stderr)
+
     n_pairs = len(glob.glob(os.path.join(work, "train_pairs", "*.nc")))
     result = {
         "metric": "pipeline_scenes_per_hour",
@@ -141,6 +151,8 @@ def main(argv=None) -> int:
             s: round(timings[s], 1) for s in train_stages
         },
         "stitched_stages": stitched,  # non-empty = cross-session resume
+        "tainted": bool(stall_flags),  # true = wedged session, not a number
+        "stall_flags": stall_flags,
         "backend": _backend(),
     }
     print(json.dumps(result))

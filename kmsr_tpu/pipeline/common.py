@@ -102,6 +102,192 @@ class DeviceSyncGuard:
             ) from exc
 
 
+def _proc_cpu_seconds() -> float:
+    """This process's cumulative user+system CPU seconds (/proc/self/stat)."""
+    import os
+
+    with open("/proc/self/stat", "rb") as f:
+        fields = f.read().rsplit(b")", 1)[1].split()
+    # fields[11]=utime, fields[12]=stime after the comm close-paren
+    return (int(fields[11]) + int(fields[12])) / os.sysconf("SC_CLK_TCK")
+
+
+def diagnose_sync_state(cpu_sample_s: float = 0.5) -> tuple[str, dict]:
+    """Separate a wedged device sync from a server-side compile.
+
+    Automates the manual procedure from the r4 tunnel incidents
+    (`docs/NOTES_r4.md` "Incidents (continued)"): during a long sync,
+    a thread blocked in `ep_poll` means the axon tunnel is alive and
+    waiting on the server (remote compile in progress — wait), while a
+    frozen host with NO epoll thread means the stream is wedged
+    (kill + restart). Returns (state, detail) with state one of
+    "remote_compile", "suspected_wedge", "host_busy".
+    """
+    import glob
+
+    wchans = []
+    for p in glob.glob("/proc/self/task/*/wchan"):
+        try:
+            with open(p) as f:
+                wchans.append(f.read().strip())
+        except OSError:
+            continue
+    n_epoll = sum("ep_poll" in w for w in wchans)
+    if n_epoll:
+        return "remote_compile", {"epoll_threads": n_epoll}
+    cpu0 = _proc_cpu_seconds()
+    time.sleep(cpu_sample_s)
+    busy = (_proc_cpu_seconds() - cpu0) / cpu_sample_s
+    if busy < 0.05:
+        return "suspected_wedge", {"host_cpu_util": round(busy, 3),
+                                   "epoll_threads": 0}
+    return "host_busy", {"host_cpu_util": round(busy, 3)}
+
+
+class SyncWatchdog:
+    """Diagnose syncs that HANG (DeviceSyncGuard only sees ones that FAIL).
+
+    One monitor thread per stage run; `watch()` wraps each blocking
+    device sync. Once a sync exceeds `threshold_s` the monitor runs
+    `diagnose_sync_state` every `poll_s`, logging "remote compile in
+    progress" (wait — r4 measured a legitimate 15-min server-side
+    compile) vs "suspected wedge". If the wedge diagnosis persists past
+    `wedge_abort_s`, `on_abort(record)` fires; the default logs the
+    diagnosis and hard-exits (os._exit(86)) because a truly wedged
+    remote sync never returns — no exception can be raised into the
+    blocked C call — and grinding forever is the failure mode this
+    exists to prevent (VERDICT r4 item 4).
+    """
+
+    def __init__(
+        self,
+        label: str = "sync",
+        threshold_s: float = 120.0,
+        poll_s: float = 30.0,
+        wedge_abort_s: Optional[float] = None,
+        diagnose: Callable = diagnose_sync_state,
+        on_abort: Optional[Callable] = None,
+        log: Callable = print,
+    ):
+        import threading
+
+        self.label = label
+        self.threshold_s = threshold_s
+        self.poll_s = poll_s
+        self.wedge_abort_s = wedge_abort_s
+        self._diagnose = diagnose
+        self._on_abort = on_abort or self._default_abort
+        self._log = log
+        self._lock = threading.Lock()
+        self._sync_since: Optional[float] = None
+        self._wedge_since: Optional[float] = None
+        self.diagnoses: list = []  # (elapsed_s, state) history, for reports
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._monitor, daemon=True)
+        self._thread.start()
+
+    def _default_abort(self, record: dict) -> None:
+        import os
+        import sys
+
+        print(f"[{self.label}] ABORT: device sync hung "
+              f"{record['elapsed_s']:.0f}s with persistent wedge diagnosis "
+              f"{record['detail']} — exiting (axon stream wedged; no "
+              f"exception can unwind a blocked remote sync)",
+              file=sys.stderr, flush=True)
+        os._exit(86)
+
+    @contextlib.contextmanager
+    def watch(self):
+        with self._lock:
+            self._sync_since = time.monotonic()
+            self._wedge_since = None
+        try:
+            yield
+        finally:
+            with self._lock:
+                self._sync_since = None
+                self._wedge_since = None
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def _monitor(self) -> None:
+        while not self._stop.wait(self.poll_s):
+            with self._lock:
+                since = self._sync_since
+            if since is None:
+                continue
+            elapsed = time.monotonic() - since
+            if elapsed < self.threshold_s:
+                continue
+            state, detail = self._diagnose()
+            self.diagnoses.append((round(elapsed, 1), state))
+            if state == "remote_compile":
+                self._log(f"[{self.label}] sync blocked {elapsed:.0f}s: "
+                          f"epoll thread waiting -> remote compile in "
+                          f"progress, waiting ({detail})")
+                with self._lock:
+                    self._wedge_since = None
+            elif state == "suspected_wedge":
+                with self._lock:
+                    if self._wedge_since is None:
+                        self._wedge_since = time.monotonic()
+                    wedge_for = time.monotonic() - self._wedge_since
+                self._log(f"[{self.label}] sync blocked {elapsed:.0f}s: host "
+                          f"frozen, no epoll thread -> SUSPECTED WEDGE "
+                          f"({wedge_for:.0f}s persistent; {detail})")
+                if (self.wedge_abort_s is not None
+                        and wedge_for >= self.wedge_abort_s):
+                    self._on_abort({
+                        "label": self.label,
+                        "elapsed_s": elapsed,
+                        "wedge_persist_s": wedge_for,
+                        "detail": detail,
+                        "history": list(self.diagnoses),
+                    })
+            else:  # host_busy: sync is long but the host is working
+                with self._lock:
+                    self._wedge_since = None
+
+
+_WATCHDOGS: dict = {}
+
+
+def sync_watch(label: str):
+    """Wrap a blocking device sync in the process-wide watchdog for
+    `label` (one daemon monitor thread per label, created on first use).
+
+    Tunables via env: KMSR_SYNC_WATCHDOG_THRESHOLD_S (default 120 —
+    below it a sync is presumed a normal dispatch/compile),
+    KMSR_SYNC_WEDGE_ABORT_S (default 900 — persistent-wedge abort;
+    0 disables the abort, keeping diagnosis-only logging),
+    KMSR_SYNC_WATCHDOG=0 disables entirely (no-op context).
+    """
+    import os
+
+    if os.environ.get("KMSR_SYNC_WATCHDOG", "1") == "0":
+        return contextlib.nullcontext()
+    wd = _WATCHDOGS.get(label)
+    if wd is None:
+        abort_s = float(os.environ.get("KMSR_SYNC_WEDGE_ABORT_S", "900"))
+        wd = SyncWatchdog(
+            label=label,
+            threshold_s=float(
+                os.environ.get("KMSR_SYNC_WATCHDOG_THRESHOLD_S", "120")),
+            wedge_abort_s=abort_s if abort_s > 0 else None,
+        )
+        _WATCHDOGS[label] = wd
+    return wd.watch()
+
+
 def chunked_reader(
     files: list,
     batch_size: int,

@@ -22,7 +22,7 @@ from ..data.sampler import list_patch_files
 from ..io.ncio import NCFile, copy_file_with_groups, read_band_stack, write_band_stack
 from ..io.schema import BAND_NAMES, GROUP_DENOISED, GROUP_GEO
 from ..ops.nlm import PATCH_DISTANCE, PATCH_SIZE, denoise_stack
-from .common import run_per_file
+from .common import run_per_file, sync_watch
 
 
 def process_nc_file(
@@ -129,7 +129,7 @@ def batch_denoise(
             # zlib .nc writes and per-file fallbacks (one-deep pipeline)
             if handle is not None:
                 try:
-                    with stage_timer("denoise.device_sync"):
+                    with stage_timer("denoise.device_sync"), sync_watch("denoise"):
                         den, sig = denoise_batch_finalize(handle)
                     with stage_timer("denoise.host_write"):
                         for (path, stack), d, s in zip(uniform, den, sig):

@@ -32,7 +32,7 @@ from ..io.schema import GROUP_DENOISED
 from ..pipeline.apply_kernel import load_kernel
 from ..pipeline.make_train_data import save_training_sample
 from ..utils.profiling import stage_timer
-from .common import DeviceSyncGuard, RunReport
+from .common import DeviceSyncGuard, RunReport, sync_watch
 
 
 def degrade_with_noise(
@@ -379,7 +379,7 @@ def run_factory(
             # surface here — fail the batch's files, don't crash the run
             # (unless the guard sees the device persistently wedged).
             try:
-                with stage_timer("factory.device_sync"):
+                with stage_timer("factory.device_sync"), sync_watch("factory"):
                     lr_batch = np.transpose(
                         np.asarray(lr_dev), (3, 0, 1, 2))[:b]
                 sync_guard.succeeded()
@@ -465,7 +465,7 @@ def run_factory(
         # dispatch) — fail this batch's files, don't crash the run
         # (unless the guard sees the device persistently wedged).
         try:
-            with stage_timer("factory.device_sync"):
+            with stage_timer("factory.device_sync"), sync_watch("factory"):
                 lr_batch = np.asarray(lr_dev)
                 experts = np.asarray(experts_dev)
             sync_guard.succeeded()

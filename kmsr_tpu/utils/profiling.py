@@ -76,6 +76,54 @@ def bench_windows(fn, *args, iters: int, windows: int = 5,
     }
 
 
+def detect_sync_stall(
+    scopes: dict[str, dict],
+    stage_seconds: dict[str, float] | None = None,
+    ratio: float = 5.0,
+    floor_s: float = 120.0,
+) -> list[dict]:
+    """Flag stages whose main-thread device-sync time dwarfs their host work.
+
+    A wedged remote device (tunnel stall) shows up as a stage spending
+    nearly all its wall time blocked in `<stage>.device_sync` while its
+    host scopes stay tiny — the r4 incident recorded
+    `factory.device_sync` = 555.95 s in a stage a healthy session runs
+    in 98.8 s, and that wedged JSON silently became the committed
+    artifact (VERDICT r4 item 1). This detector makes such sessions
+    self-disqualifying: a stage is flagged when
+
+        device_sync > max(ratio * host_s, floor_s)
+
+    where `host_s` sums the stage's other MAIN-THREAD scopes (`*_bg`
+    reader-thread scopes overlap device compute and are excluded).
+    `floor_s` absorbs legitimate first-compile time (~20-40 s through
+    the tunnel) and honest queue drains so short clean runs never
+    false-positive. Returns one record per flagged stage; callers mark
+    their report `"tainted": true` when non-empty.
+    """
+    stage_seconds = stage_seconds or {}
+    prefixes = sorted({n.split(".", 1)[0] for n in scopes if "." in n})
+    flags = []
+    for stage in prefixes:
+        sync = scopes.get(f"{stage}.device_sync", {}).get("total_s", 0.0)
+        host = sum(
+            rec.get("total_s", 0.0)
+            for name, rec in scopes.items()
+            if name.startswith(stage + ".")
+            and not name.endswith("device_sync")
+            and not name.endswith("_bg")
+        )
+        if sync > max(ratio * host, floor_s):
+            flags.append({
+                "stage": stage,
+                "device_sync_s": round(sync, 2),
+                "host_s": round(host, 2),
+                "wall_s": round(stage_seconds.get(stage, float("nan")), 2),
+                "sync_to_host_ratio": round(sync / host, 1) if host else None,
+            })
+    return flags
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str) -> Iterator[None]:
     """Capture a jax.profiler trace (view with TensorBoard / xprof)."""

@@ -48,6 +48,45 @@ def test_stage_timer():
     assert rep["unit_test_stage"]["total_s"] >= 0
 
 
+def test_detect_sync_stall():
+    """The wedged-session taint detector (VERDICT r4 item 1): a stage
+    whose device_sync dwarfs its host scopes is flagged; a clean stage
+    (r4 session-1 shape) and legit first-compile syncs are not."""
+    from kmsr_tpu.utils.profiling import detect_sync_stall
+
+    def rec(s):
+        return {"calls": 1, "total_s": s, "mean_s": s, "max_s": s}
+
+    # the r4 incident shape: factory wedged (sync 555.95 vs ~23 s host),
+    # denoise clean in the same session
+    scopes = {
+        "factory.device_sync": rec(555.95),
+        "factory.host_write": rec(19.0),
+        "factory.host_read_bg": rec(40.0),   # overlapped, must not rescue
+        "denoise.device_sync": rec(35.0),
+        "denoise.host_write": rec(30.0),
+        "denoise.host_read": rec(22.0),
+    }
+    flags = detect_sync_stall(scopes, {"factory": 580.0, "denoise": 95.0})
+    assert [f["stage"] for f in flags] == ["factory"]
+    assert flags[0]["device_sync_s"] == 555.95
+    assert flags[0]["host_s"] == 19.0  # _bg excluded
+    # clean session: sync below both the ratio and the floor
+    clean = {
+        "factory.device_sync": rec(45.0),
+        "factory.host_write": rec(20.0),
+        "denoise.device_sync": rec(35.0),
+        "denoise.host_write": rec(30.0),
+    }
+    assert detect_sync_stall(clean, {}) == []
+    # first-compile-only stage: large-ish sync with zero host work but
+    # under the floor -> not flagged
+    assert detect_sync_stall({"factory.device_sync": rec(100.0)}, {}) == []
+    # over the floor with zero host work -> flagged, ratio None
+    f = detect_sync_stall({"factory.device_sync": rec(130.0)}, {})
+    assert f and f[0]["sync_to_host_ratio"] is None
+
+
 def test_viz_cli_kernels_and_moe(tmp_path, rng, capsys):
     from kmsr_tpu.analysis.viz_cli import main
 

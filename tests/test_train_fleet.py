@@ -187,7 +187,50 @@ def test_fleet_real_is_lr_matches_standalone(rng, tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.exhaustive  # canonical: test_fleet_real_is_lr_matches_standalone (real_is_lr) + test_fleet_chunked_matches_standalone_chunked (chunking)
+def test_fleet_real_is_lr_chunked_scene_consistency(rng, tmp_path):
+    """K>1 real_is_lr PRODUCTION-path anchor (VERDICT r4 item 3): a
+    2-scene fleet must equal two 1-scene fleets run separately at the
+    matched seeds (scene s trains at seed base+s), on the SAME
+    device-PRNG steps_per_call path — kernels AND CSV losses identical.
+    No standalone twin exists for this mode (the standalone trainer's
+    lr_pool path samples on host), but per-scene independence is the
+    stronger invariant: vmapped scenes must not leak state or RNG into
+    each other."""
+    pools = [make_pool(rng, n=4), make_pool(rng, n=6)]
+    lr_pools = [make_pool(rng, n=3, size=8), make_pool(rng, n=5, size=8)]
+
+    fleet2 = train_fleet(
+        pools,
+        tiny_cfg(tmp_path / "f2", seed=11, real_is_lr=True,
+                 steps_per_call=2),
+        scene_names=["a", "b"], progress=False, lr_pools=lr_pools,
+    )
+    for s in range(2):
+        fleet1 = train_fleet(
+            [pools[s]],
+            tiny_cfg(tmp_path / f"f1_{s}", seed=11 + s, real_is_lr=True,
+                     steps_per_call=2),
+            scene_names=["only"], progress=False, lr_pools=[lr_pools[s]],
+        )
+        np.testing.assert_allclose(
+            fleet2["kernel_per_band"][s], fleet1["kernel_per_band"][0],
+            rtol=1e-5, atol=1e-7,
+        )
+        with open(fleet2["log_files"][s], encoding="utf-8") as f:
+            log2 = f.read().splitlines()
+        with open(fleet1["log_files"][0], encoding="utf-8") as f:
+            log1 = f.read().splitlines()
+        assert len(log2) == len(log1) > 1
+        for l2, l1 in zip(log2[1:], log1[1:]):
+            np.testing.assert_allclose(
+                [float(x) for x in l2.split(",")],
+                [float(x) for x in l1.split(",")],
+                rtol=1e-4, atol=1e-6,
+            )
+
+
+@pytest.mark.slow
+@pytest.mark.exhaustive  # canonical: test_fleet_real_is_lr_matches_standalone (real_is_lr) + test_fleet_chunked_matches_standalone_chunked (chunking); default-tier K>1 anchor: test_fleet_real_is_lr_chunked_scene_consistency
 def test_fleet_real_is_lr_chunked_runs(rng, tmp_path):
     """K>1 real_is_lr fleet (device-PRNG hr/crop draws from separate
     pool sizes — no standalone twin exists: the standalone trainer's
