@@ -44,6 +44,10 @@ import time
 DEFAULT_CONFIG: dict = {
     "workdir": "kmsr_run",
     "input_dir": "scenes",  # calibrated 5-band .nc scenes (geophysical_data)
+    "lr_input_dir": None,  # native-LR sensor scenes (GOCI-like) for the
+    #   cut_lr stage; with trainer "fleet" + train_kernel.real_is_lr the
+    #   fleet D's real side is per-scene pools of these patches (the
+    #   cross-sensor contract `single_kernel/train.py:261-268`)
     "landsat_root": None,  # raw Landsat C2 L1 scene dirs; used by calibrate
     "trainer": "single",  # single | fleet (per-scene kernels) | dynamic | moe
     "kernel_file": None,  # pre-trained kernel .npy for the factory stage
@@ -60,6 +64,14 @@ DEFAULT_CONFIG: dict = {
         "cut": {
             "enabled": True,
             "patch_size": 256,
+            "stride_ratio": 0.5,
+            "nan_threshold": 0.0,
+        },
+        "cut_lr": {
+            "enabled": False,  # on: cut lr_input_dir scenes into native-LR
+            #   patches (patch_size = the trainers' lr_crop_size; raw, no
+            #   denoise — the real sensor's noise IS the signal the D needs)
+            "patch_size": 32,
             "stride_ratio": 0.5,
             "nan_threshold": 0.0,
         },
@@ -177,6 +189,7 @@ def run_pipeline(config: dict, from_stage: str | None = None,
     paths = {
         "calibrated": os.path.join(work, "calibrated"),
         "patches": os.path.join(work, "patches"),
+        "patches_lr": os.path.join(work, "patches_lr"),
         "denoised": os.path.join(work, "denoised"),
         "pool": os.path.join(work, "noise_pool.npy"),
         "gan": os.path.join(work, "kernel_run"),
@@ -205,6 +218,19 @@ def run_pipeline(config: dict, from_stage: str | None = None,
     # output scenes instead of cfg["input_dir"]
     if s["calibrate"]["enabled"] and not cfg.get("landsat_root"):
         raise ValueError("calibrate stage enabled but landsat_root not set")
+    if s["cut_lr"]["enabled"] and not cfg.get("lr_input_dir"):
+        raise ValueError("cut_lr stage enabled but lr_input_dir not set")
+    real_is_lr = bool(s["train_kernel"].get("real_is_lr"))
+    if real_is_lr and trainer != "fleet":
+        raise ValueError(
+            "train_kernel.real_is_lr is only supported by trainer 'fleet' "
+            "in the pipeline (per-scene native-LR pools)"
+        )
+    if real_is_lr and not s["cut_lr"]["enabled"]:
+        raise ValueError(
+            "train_kernel.real_is_lr needs the cut_lr stage enabled "
+            "(it supplies the native-LR patches)"
+        )
     scenes_dir = (
         paths["calibrated"] if s["calibrate"]["enabled"] else cfg["input_dir"]
     )
@@ -230,6 +256,9 @@ def run_pipeline(config: dict, from_stage: str | None = None,
                 out_dir=paths["calibrated"])),
             ("cut", cut.main, _argv(
                 s["cut"], input_dir=scenes_dir, output_dir=paths["patches"])),
+            ("cut_lr", cut.main, _argv(
+                s["cut_lr"], input_dir=cfg.get("lr_input_dir") or "",
+                output_dir=paths["patches_lr"])),
             ("denoise", denoise_cli.main, ["--batch", paths["patches"]] + _argv(
                 s["denoise"], output=paths["denoised"])),
             ("noise_pool", noise_pool_cli.main, _argv(
@@ -239,6 +268,8 @@ def run_pipeline(config: dict, from_stage: str | None = None,
                 s["train_kernel"],
                 **({"patch_dir": paths["denoised"], "format": "nc"}
                    if trainer != "single" else {"patch_dir": paths["denoised"]}),
+                **({"real_lr_dir": paths["patches_lr"]}
+                   if real_is_lr else {}),
                 outdir=paths["gan"])),
         ]
         if cfg["use_fused_factory"]:
@@ -311,6 +342,7 @@ def run_pipeline(config: dict, from_stage: str | None = None,
     enabled = {
         "calibrate": s["calibrate"]["enabled"],
         "cut": s["cut"]["enabled"],
+        "cut_lr": s["cut_lr"]["enabled"],
         "denoise": s["denoise"]["enabled"],
         "noise_pool": s["noise_pool"]["enabled"],
         "train_kernel": s["train_kernel"]["enabled"],

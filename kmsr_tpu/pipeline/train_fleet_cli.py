@@ -70,6 +70,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scenes per vmapped dispatch chunk (bounds chain-"
                         "mode activation HBM; must divide the per-device "
                         "scene count; 0 = auto by residual estimate)")
+    p.add_argument("--real-is-lr", action="store_true",
+                   help="the D's real side is GENUINE native-LR patches "
+                        "(per-scene pools from --real-lr-dir) instead of "
+                        "crops of the HR patches — the scientifically "
+                        "right real side for the cross-sensor task "
+                        "(standalone contract single_kernel/train.py:261-268)")
+    p.add_argument("--real-lr-dir", default=None,
+                   help="flat directory of native-LR patch .nc files at "
+                        "lr-crop-size (cut from the LR sensor's scenes); "
+                        "files regroup into scenes by name prefix, which "
+                        "must cover every HR scene")
+    p.add_argument("--real-lr-group", default="geophysical_data",
+                   help="NetCDF group of the native-LR patches (raw "
+                        "sensor radiance, not denoised)")
     return p
 
 
@@ -117,10 +131,33 @@ def main(argv=None) -> int:
             pools = [PatchPool.from_npy_dir(d) for d in dirs]
         else:
             pools = [PatchPool.from_nc_dir(d, group=a.group) for d in dirs]
+    lr_pools = None
+    if a.real_is_lr:
+        if not a.real_lr_dir:
+            raise SystemExit("--real-is-lr needs --real-lr-dir")
+        from ..data.patches import group_by_scene
+        from ..data.sampler import list_patch_files
+
+        lr_groups = group_by_scene(
+            list_patch_files(a.real_lr_dir, "*.nc", host_shard=False)
+        )
+        missing = [n for n in names if n not in lr_groups]
+        if missing:
+            raise SystemExit(
+                f"--real-lr-dir {a.real_lr_dir} has no patches for "
+                f"scenes {missing} (found: {sorted(lr_groups)})"
+            )
+        lr_pools = [
+            PatchPool.from_files(lr_groups[n], group=a.real_lr_group)
+            for n in names
+        ]
+    elif a.real_lr_dir:
+        raise SystemExit("--real-lr-dir given without --real-is-lr")
     cfg = SingleKernelConfig(
         iters=a.iters,
         batch_size=a.batch_size,
         lr_crop_size=a.lr_crop_size,
+        real_is_lr=a.real_is_lr,
         lr_rate=a.lr,
         reg_weight=a.reg_weight,
         grad_clip_norm=a.grad_clip,
@@ -142,7 +179,7 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(axis_names=("scene",))
     out = train_fleet(pools, cfg, scene_names=names, mesh=mesh,
-                      scene_chunk=a.scene_chunk or None)
+                      scene_chunk=a.scene_chunk or None, lr_pools=lr_pools)
     print(f"fleet done: {len(out['scene_names'])} scenes -> {a.outdir}")
     return 0
 

@@ -48,7 +48,69 @@ def powerlaw_field(rng: np.random.Generator, n: int, slope: float = 3.0) -> np.n
     return ((f - f.mean()) / f.std()).astype(np.float32)
 
 
-def make_scene(rng: np.random.Generator, size: int) -> np.ndarray:
+def gt_lr_kernel(n: int = 13) -> np.ndarray:
+    """Ground-truth LR-sensor PSF: per-band rotated anisotropic Gaussian.
+
+    The synthetic 'GOCI-like' sensor's blur, applied on the HR grid
+    before x8 block-mean decimation — exactly the operator family the
+    KernelGAN's generator can represent (13x13 effective kernel + 3
+    stacked 2x2 avg-pools), so the fleet's learned kernels can be
+    compared against this array directly (kernel-recovery evidence in
+    docs/QUALITY_real_lr.md). [5, n, n], each band sums to 1.
+    """
+    c = n // 2
+    yy, xx = np.meshgrid(np.arange(n) - c, np.arange(n) - c, indexing="ij")
+    theta = np.deg2rad(25.0)
+    xr = np.cos(theta) * xx + np.sin(theta) * yy
+    yr = -np.sin(theta) * xx + np.cos(theta) * yy
+    ks = []
+    for b in range(5):
+        sx = 1.15 + 0.08 * b   # along-scan MTF degrades toward NIR
+        sy = 1.85 - 0.05 * b
+        k = np.exp(-0.5 * ((xr / sx) ** 2 + (yr / sy) ** 2))
+        ks.append(k / k.sum())
+    return np.stack(ks).astype(np.float32)
+
+
+def make_lr_scene(
+    clean: np.ndarray, nan_mask: np.ndarray, kernel: np.ndarray,
+    rng: np.random.Generator, factor: int = 8,
+) -> np.ndarray:
+    """Native-LR counterpart of a clean HR scene: GT-PSF blur (replicate
+    pad) -> x`factor` block mean -> + LR sensor noise (the reference's
+    measured per-band sigmas) -> decimated NaN mask (block-any)."""
+    nb, size, _ = clean.shape
+    n = kernel.shape[-1]
+    r = n // 2
+    pad = np.pad(clean, ((0, 0), (r, r), (r, r)), mode="edge")
+    blurred = np.zeros_like(clean)
+    for dy in range(n):
+        for dx in range(n):
+            blurred += kernel[:, dy, dx, None, None] * pad[
+                :, dy : dy + size, dx : dx + size
+            ]
+    s = size // factor
+    lr = blurred[:, : s * factor, : s * factor].reshape(
+        nb, s, factor, s, factor
+    ).mean(axis=(2, 4))
+    lr += rng.normal(0, 1, lr.shape) * NOISE_SIGMA[:, None, None]
+    lr = lr.astype(np.float32)
+    lr[4] = np.clip(lr[4], 0.05, 6.8)  # NIR inside the water-mask window
+    hole = nan_mask[: s * factor, : s * factor].reshape(
+        s, factor, s, factor
+    ).any(axis=(1, 3))
+    lr[:, hole] = np.nan
+    return lr
+
+
+def make_scene(
+    rng: np.random.Generator, size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (scene, clean, nan_mask): the HR-sensor scene (noise +
+    NaN holes applied), the pre-noise clean field the LR-sensor path
+    degrades (same ocean, different sensor), and the cloud-hole mask.
+    RNG draw order is unchanged vs earlier rounds, so seeded HR scenes
+    are bit-identical whether or not LR counterparts are generated."""
     yy, xx = np.meshgrid(
         np.linspace(-1, 1, size), np.linspace(-1, 1, size), indexing="ij"
     )
@@ -59,6 +121,7 @@ def make_scene(rng: np.random.Generator, size: int) -> np.ndarray:
     front = np.tanh(6.0 * front_base).astype(np.float32)
 
     scene = np.empty((5, size, size), np.float32)
+    clean_all = np.empty((5, size, size), np.float32)
     for b in range(5):
         clean = (
             BASE[b]
@@ -66,17 +129,20 @@ def make_scene(rng: np.random.Generator, size: int) -> np.ndarray:
             + MIX_EDDY[b] * eddy
             + MIX_FRONT[b] * front
         )
+        clean_all[b] = clean
         scene[b] = clean + rng.normal(0, NOISE_SIGMA[b], (size, size))
     # NIR must stay inside the water-mask window (0, 7.0)
     scene[4] = np.clip(scene[4], 0.05, 6.8)
 
     # cloud holes: 2-4 random NaN blobs
+    nan_mask = np.zeros((size, size), bool)
     for _ in range(rng.integers(2, 5)):
         cy, cx = rng.integers(0, size, 2)
         r = int(rng.integers(size // 32, size // 12))
         dist = (yy - yy[cy, cx]) ** 2 + (xx - xx[cy, cx]) ** 2
-        scene[:, dist < (2.0 * r / size) ** 2] = np.nan
-    return scene
+        nan_mask |= dist < (2.0 * r / size) ** 2
+    scene[:, nan_mask] = np.nan
+    return scene, clean_all, nan_mask
 
 
 def main(argv=None) -> int:
@@ -85,6 +151,12 @@ def main(argv=None) -> int:
     p.add_argument("--n", type=int, default=8)
     p.add_argument("--size", type=int, default=896)
     p.add_argument("--seed", type=int, default=20260819)
+    p.add_argument("--lr-outdir", default=None,
+                   help="also write each scene's native-LR counterpart "
+                        "(GOCI-like: GT anisotropic-PSF blur -> x factor "
+                        "block mean -> LR sensor noise) here, plus the "
+                        "ground-truth kernel as gt_kernel.npy")
+    p.add_argument("--lr-factor", type=int, default=8)
     a = p.parse_args(argv)
 
     import sys
@@ -94,14 +166,29 @@ def main(argv=None) -> int:
     from kmsr_tpu.io.schema import GROUP_GEO
 
     os.makedirs(a.outdir, exist_ok=True)
+    kernel = None
+    if a.lr_outdir:
+        os.makedirs(a.lr_outdir, exist_ok=True)
+        kernel = gt_lr_kernel()
+        np.save(os.path.join(a.lr_outdir, "gt_kernel.npy"), kernel)
     rng = np.random.default_rng(a.seed)
     for i in range(a.n):
-        scene = make_scene(rng, a.size)
+        scene, clean, nan_mask = make_scene(rng, a.size)
         path = os.path.join(a.outdir, f"scene_{i:02d}.nc")
         write_band_stack(path, GROUP_GEO, scene, mode="w")
         nan_pct = 100.0 * np.isnan(scene[0]).mean()
         print(f"{path}: {scene.shape} nan={nan_pct:.1f}% "
               f"nir[{np.nanmin(scene[4]):.2f},{np.nanmax(scene[4]):.2f}]")
+        if a.lr_outdir:
+            # separate seeded stream: the HR stream stays bit-identical
+            # to rounds that generated no LR counterparts
+            rng_lr = np.random.default_rng([a.seed, i, 1])
+            lr = make_lr_scene(clean, nan_mask, kernel, rng_lr,
+                               factor=a.lr_factor)
+            lr_path = os.path.join(a.lr_outdir, f"scene_{i:02d}.nc")
+            write_band_stack(lr_path, GROUP_GEO, lr, mode="w")
+            print(f"  {lr_path}: {lr.shape} "
+                  f"nan={100.0 * np.isnan(lr[0]).mean():.1f}%")
     return 0
 
 

@@ -113,6 +113,62 @@ def test_run_all_rejects_bad_trainer(tmp_path, scenes):
         run_pipeline(cfg)
 
 
+def test_run_all_rejects_bad_real_lr_configs(tmp_path, scenes):
+    """real_is_lr needs trainer 'fleet' AND the cut_lr stage; cut_lr
+    needs lr_input_dir."""
+    cfg = tiny_config(tmp_path, scenes)
+    cfg["stages"]["cut_lr"] = {"enabled": True}
+    with pytest.raises(ValueError, match="lr_input_dir"):
+        run_pipeline(cfg)
+    cfg = tiny_config(tmp_path, scenes)
+    cfg["trainer"] = "fleet"
+    cfg["stages"]["train_kernel"]["real_is_lr"] = True
+    with pytest.raises(ValueError, match="cut_lr"):
+        run_pipeline(cfg)
+    cfg = tiny_config(tmp_path, scenes)
+    cfg["stages"]["train_kernel"]["real_is_lr"] = True  # trainer=single
+    with pytest.raises(ValueError, match="fleet"):
+        run_pipeline(cfg)
+
+
+@pytest.mark.slow
+def test_run_all_fleet_real_is_lr_route(tmp_path, scenes, rng):
+    """The FLAGSHIP configuration end-to-end (VERDICT r4 item 2 plumbing):
+    cut_lr cuts native-LR scenes into per-scene pools, the fleet trains
+    with them as the D's real side (real_is_lr), and the factory routes
+    per-scene kernels."""
+    lr_dir = tmp_path / "scenes_lr"
+    lr_dir.mkdir()
+    for i in range(2):
+        lr_scene = rng.uniform(0.5, 5.0, size=(5, 10, 10)).astype(np.float32)
+        lr_scene[4] = 1.0
+        write_band_stack(str(lr_dir / f"s{i}.nc"), GROUP_GEO, lr_scene,
+                         mode="w")
+    cfg = tiny_config(tmp_path, scenes)
+    cfg["trainer"] = "fleet"
+    cfg["lr_input_dir"] = str(lr_dir)
+    cfg["stages"]["cut_lr"] = {
+        "enabled": True, "patch_size": 4, "stride_ratio": 1.0,
+        "nan_threshold": 0.0,
+    }
+    cfg["stages"]["train_kernel"]["real_is_lr"] = True
+    timings = run_pipeline(cfg)
+    assert list(timings) == [
+        "cut", "cut_lr", "denoise", "noise_pool", "train_kernel",
+        "factory", "check_shapes", "analyze",
+    ]
+    run = tmp_path / "run"
+    assert os.listdir(run / "patches_lr")
+    for scene in ("s0", "s1"):
+        k = np.load(run / "kernel_run" / scene / "kernel_per_band.npy")
+        assert k.shape == (5, 13, 13)
+        np.testing.assert_allclose(k.sum(axis=(1, 2)), 1.0, rtol=1e-4)
+    pairs = [p for p in os.listdir(run / "train_pairs") if p.endswith(".nc")]
+    from kmsr_tpu.data.patches import scene_prefix
+
+    assert {scene_prefix(p) for p in pairs} == {"s0", "s1"}
+
+
 @pytest.mark.slow
 @pytest.mark.exhaustive  # canonical: test_run_all_dag (DAG mechanics) + test_factory_moe_mode + test_train_moe_smoke (moe route)
 def test_run_all_moe_trainer_content_adaptive_factory(tmp_path, scenes):
