@@ -38,7 +38,7 @@ def _routing_diversity(pairs_dir: str, moe_dir: str, holdout_experts: list) -> d
             counts[int(nc.get_attrs(group="lr")["moe_expert"])] += 1
     total = sum(counts.values())
     probs = np.asarray([c / total for c in counts.values()])
-    entropy = float(-(probs * np.log2(probs)).sum()) if total else 0.0
+    entropy = max(float(-(probs * np.log2(probs)).sum()), 0.0) if total else 0.0
     bank = np.stack([
         np.load(f) for f in sorted(
             _glob.glob(os.path.join(moe_dir, "kernel_*.npy")))
