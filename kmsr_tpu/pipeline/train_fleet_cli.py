@@ -84,6 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--real-lr-group", default="geophysical_data",
                    help="NetCDF group of the native-LR patches (raw "
                         "sensor radiance, not denoised)")
+    p.add_argument("--fake-noise", default="off",
+                   help="'off' (reference behavior), 'auto' (estimate "
+                        "per-band sigma from the native-LR pool with the "
+                        "denoise stage's wavelet-MAD estimator and add "
+                        "N(0,sigma) to the FAKE side so the D cannot win "
+                        "on noise texture alone — the dynamic variant's "
+                        "NoiseEstimator idea, measured instead of "
+                        "learned), or 5 comma-separated sigmas")
     return p
 
 
@@ -153,11 +161,33 @@ def main(argv=None) -> int:
         ]
     elif a.real_lr_dir:
         raise SystemExit("--real-lr-dir given without --real-is-lr")
+    fake_noise_sigma = None
+    if a.fake_noise == "auto":
+        if lr_pools is None:
+            raise SystemExit("--fake-noise auto needs --real-is-lr "
+                             "(sigma is estimated from the LR pool)")
+        import numpy as np
+
+        from ..ops.sigma import estimate_sigma_np
+
+        sigs = []
+        for pool in lr_pools:
+            pats = np.asarray(pool.patches[:64])  # [N, C, h, w]
+            sigs.append([
+                np.median([estimate_sigma_np(p[b]) for p in pats])
+                for b in range(pats.shape[1])
+            ])
+        fake_noise_sigma = tuple(np.median(np.asarray(sigs), axis=0))
+        print("fleet: fake-side noise sigma (wavelet-MAD of the LR "
+              "pools): " + ", ".join(f"{s:.3f}" for s in fake_noise_sigma))
+    elif a.fake_noise != "off":
+        fake_noise_sigma = tuple(float(x) for x in a.fake_noise.split(","))
     cfg = SingleKernelConfig(
         iters=a.iters,
         batch_size=a.batch_size,
         lr_crop_size=a.lr_crop_size,
         real_is_lr=a.real_is_lr,
+        fake_noise_sigma=fake_noise_sigma,
         lr_rate=a.lr,
         reg_weight=a.reg_weight,
         grad_clip_norm=a.grad_clip,

@@ -90,6 +90,15 @@ class SingleKernelConfig:
     #   (reference crops 32^2 windows from 256^2 LR-sensor patches —
     #   `single_kernel/train.py:261-268`; set True to feed native-scale
     #   LR batches directly)
+    fake_noise_sigma: Optional[tuple] = None  # per-band sigmas added to the
+    #   FAKE side (G(HR) + N(0, sigma)) so the D cannot win on noise
+    #   texture alone when the real side is a noisier native-LR sensor
+    #   (real_is_lr). This is the reference's NoiseEstimator idea
+    #   (`muti_kernel/networks.py:210-224`) with sigma MEASURED from the
+    #   LR pool (ops.sigma wavelet-MAD, the denoise stage's estimator)
+    #   instead of learned — the LR sensor's noise floor is observable,
+    #   so estimating beats adversarially fitting it. None = off (exact
+    #   reference single-kernel behavior, identical RNG stream).
     reg_weights: dict = dataclasses.field(
         default_factory=lambda: dict(alpha=0.5, beta=0.5, gamma=5.0, delta=1.0, epsilon=3.0)
     )
@@ -134,13 +143,25 @@ def make_base_step(cfg: SingleKernelConfig) -> Callable:
     factor = cfg.generator.factor
     fwd_mode = cfg.generator.forward_mode
 
+    fake_sig = (
+        jnp.asarray(cfg.fake_noise_sigma, jnp.float32)[None, :, None, None]
+        if cfg.fake_noise_sigma is not None else None
+    )
+
     def step(state: GANTrainState, hr: jax.Array, crop_src: jax.Array):
-        rng, k_crop = jax.random.split(state.rng)
+        if fake_sig is None:
+            rng, k_crop = jax.random.split(state.rng)
+        else:
+            rng, k_crop, k_n1, k_n2 = jax.random.split(state.rng, 4)
         if cfg.real_is_lr:
             real = crop_src
         else:
             real = random_crops(k_crop, crop_src, cfg.lr_crop_size)
         fake = generator_forward(state.g_params, hr, factor=factor, forward_mode=fwd_mode)
+        if fake_sig is not None:
+            # fresh draw per D/G sub-step, mirroring the dynamic model's
+            # re-run forward (`muti_kernel/train.py:259` vs `:273`)
+            fake = fake + jax.random.normal(k_n1, fake.shape) * fake_sig
 
         # ---- D step -------------------------------------------------------
         def d_loss_fn(d_params, d_state):
@@ -160,6 +181,8 @@ def make_base_step(cfg: SingleKernelConfig) -> Callable:
         # ---- G step (against the freshly updated D, reference order) -------
         def g_loss_fn(g_params, d_state_in):
             fake_g = generator_forward(g_params, hr, factor=factor, forward_mode=fwd_mode)
+            if fake_sig is not None:
+                fake_g = fake_g + jax.random.normal(k_n2, fake_g.shape) * fake_sig
             pred_fake, st = discriminator_forward(d_params, d_state_in, fake_g, train=True)
             adv = lsgan_g_loss(pred_fake)
             ks = extract_kernels(g_params, differentiable=cfg.differentiable_reg)

@@ -19,7 +19,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 variant="${1:-x8}"
-python scripts/make_quality_scenes.py quality_run/scenes --n 8 --size 896
+if [ "$variant" != "x8_real_lr" ]; then
+    python scripts/make_quality_scenes.py quality_run/scenes --n 8 --size 896
+fi
 
 case "$variant" in
   x8)
@@ -52,6 +54,7 @@ case "$variant" in
         --holdout 24 --width 64 --n-blocks 8 \
         --config configs/quality_x8_real_lr.json \
         --kernel-root quality_run/work_real_lr/kernel_run \
+        --gt-kernel quality_run/scenes_lr/gt_kernel.npy \
         --out docs/QUALITY_real_lr.md
     ;;
   *)

@@ -230,6 +230,32 @@ def test_fleet_real_is_lr_chunked_scene_consistency(rng, tmp_path):
 
 
 @pytest.mark.slow
+def test_fleet_fake_noise_sigma(rng, tmp_path):
+    """fake_noise_sigma (measured LR-sensor noise on the FAKE side — the
+    dynamic variant's NoiseEstimator idea, measured not learned) is
+    plumbed through the K>1 fleet path: runs, kernels normalized, and
+    the D's loss stream actually differs from the noise-free run (the
+    noise changes what the D sees)."""
+    pools = [make_pool(rng, n=4)]
+    lr_pools = [make_pool(rng, n=3, size=8)]
+
+    outs = {}
+    for tag, sig in (("off", None), ("on", (0.5, 0.5, 0.5, 0.5, 0.2))):
+        out = train_fleet(
+            pools,
+            tiny_cfg(tmp_path / tag, seed=3, real_is_lr=True,
+                     steps_per_call=2, fake_noise_sigma=sig),
+            progress=False, lr_pools=lr_pools,
+        )
+        k = out["kernel_per_band"]
+        assert np.isfinite(k).all()
+        np.testing.assert_allclose(k.sum(axis=(-2, -1)), 1.0, atol=1e-5)
+        with open(out["log_files"][0], encoding="utf-8") as f:
+            outs[tag] = f.read().splitlines()
+    assert outs["off"] != outs["on"]
+
+
+@pytest.mark.slow
 @pytest.mark.exhaustive  # canonical: test_fleet_real_is_lr_matches_standalone (real_is_lr) + test_fleet_chunked_matches_standalone_chunked (chunking); default-tier K>1 anchor: test_fleet_real_is_lr_chunked_scene_consistency
 def test_fleet_real_is_lr_chunked_runs(rng, tmp_path):
     """K>1 real_is_lr fleet (device-PRNG hr/crop draws from separate
