@@ -84,6 +84,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--real-lr-group", default="geophysical_data",
                    help="NetCDF group of the native-LR patches (raw "
                         "sensor radiance, not denoised)")
+    p.add_argument("--d-border-crop", type=int, default=0,
+                   help="crop N px off every side of both D inputs — "
+                        "removes the fake side's reflect-padding rim "
+                        "shortcut in real_is_lr mode (0 = reference "
+                        "behavior)")
+    p.add_argument("--d-lr", type=float, default=None,
+                   help="D's Adam lr (default: tied to --lr, reference "
+                        "behavior); lower it when D saturates against a "
+                        "distribution-shifted native-LR real side")
     p.add_argument("--fake-noise", default="off",
                    help="'off' (reference behavior), 'auto' (estimate "
                         "per-band sigma from the native-LR pool with the "
@@ -188,6 +197,8 @@ def main(argv=None) -> int:
         lr_crop_size=a.lr_crop_size,
         real_is_lr=a.real_is_lr,
         fake_noise_sigma=fake_noise_sigma,
+        d_border_crop=a.d_border_crop,
+        d_lr_rate=a.d_lr,
         lr_rate=a.lr,
         reg_weight=a.reg_weight,
         grad_clip_norm=a.grad_clip,

@@ -90,6 +90,17 @@ class SingleKernelConfig:
     #   (reference crops 32^2 windows from 256^2 LR-sensor patches —
     #   `single_kernel/train.py:261-268`; set True to feed native-scale
     #   LR batches directly)
+    d_border_crop: int = 0  # crop this many pixels off every side of BOTH
+    #   D inputs. With real_is_lr the fake side always carries the
+    #   generator's reflect-padding rim (13x13 chain -> 6 HR px -> ~1 LR
+    #   px after x8 pooling) while native-LR patches are interior crops
+    #   of a full scene — a per-pixel patch critic can win on that rim
+    #   alone, starving the kernel of gradient. Cropping the rim from
+    #   both sides removes the shortcut. 0 = reference behavior.
+    d_lr_rate: Optional[float] = None  # D's Adam lr; None = lr_rate (the
+    #   reference ties them, `single_kernel/train.py:165-166`). Lowering
+    #   D's lr is the standard rebalance when D saturates against a
+    #   distribution-shifted real side (real_is_lr).
     fake_noise_sigma: Optional[tuple] = None  # per-band sigmas added to the
     #   FAKE side (G(HR) + N(0, sigma)) so the D cannot win on noise
     #   texture alone when the real side is a noisier native-LR sensor
@@ -139,9 +150,14 @@ def make_base_step(cfg: SingleKernelConfig) -> Callable:
     (new_state, metrics). Pure function of its inputs — `make_train_step`
     jits it; `train.fleet` vmaps it over a scene axis."""
     g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
-    d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
+    d_tx = make_gan_optimizers(cfg.d_lr_rate or cfg.lr_rate,
+                               grad_clip_norm=cfg.grad_clip_norm)
     factor = cfg.generator.factor
     fwd_mode = cfg.generator.forward_mode
+    bc = cfg.d_border_crop
+
+    def _trim(x):
+        return x[..., bc:-bc, bc:-bc] if bc else x
 
     fake_sig = (
         jnp.asarray(cfg.fake_noise_sigma, jnp.float32)[None, :, None, None]
@@ -165,9 +181,11 @@ def make_base_step(cfg: SingleKernelConfig) -> Callable:
 
         # ---- D step -------------------------------------------------------
         def d_loss_fn(d_params, d_state):
-            pred_real, st = discriminator_forward(d_params, d_state, real, train=True)
+            pred_real, st = discriminator_forward(
+                d_params, d_state, _trim(real), train=True
+            )
             pred_fake, st = discriminator_forward(
-                d_params, st, jax.lax.stop_gradient(fake), train=True
+                d_params, st, _trim(jax.lax.stop_gradient(fake)), train=True
             )
             return lsgan_d_loss(pred_real, pred_fake), st
 
@@ -183,7 +201,9 @@ def make_base_step(cfg: SingleKernelConfig) -> Callable:
             fake_g = generator_forward(g_params, hr, factor=factor, forward_mode=fwd_mode)
             if fake_sig is not None:
                 fake_g = fake_g + jax.random.normal(k_n2, fake_g.shape) * fake_sig
-            pred_fake, st = discriminator_forward(d_params, d_state_in, fake_g, train=True)
+            pred_fake, st = discriminator_forward(
+                d_params, d_state_in, _trim(fake_g), train=True
+            )
             adv = lsgan_g_loss(pred_fake)
             ks = extract_kernels(g_params, differentiable=cfg.differentiable_reg)
             reg = per_band_kernel_regularization(ks, cfg.reg_weights)

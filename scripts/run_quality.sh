@@ -56,6 +56,10 @@ case "$variant" in
         --kernel-root quality_run/work_real_lr/kernel_run \
         --gt-kernel quality_run/scenes_lr/gt_kernel.npy \
         --out docs/QUALITY_real_lr.md
+    python scripts/native_lr_eval.py \
+        --lr-dir quality_run/scenes_lr \
+        --model quality_run/work_real_lr/sr_run/sr_model.npz \
+        --width 64 --n-blocks 8 --append docs/QUALITY_real_lr.md
     ;;
   *)
     echo "unknown variant: $variant (expected x8 | x4_moe | x8_real_lr)" >&2

@@ -256,6 +256,26 @@ def test_fleet_fake_noise_sigma(rng, tmp_path):
 
 
 @pytest.mark.slow
+def test_fleet_d_balance_knobs(rng, tmp_path):
+    """d_border_crop trims both D inputs (shrinking the critic's score
+    map) and d_lr_rate unties D's Adam lr — the real_is_lr D-balance
+    knobs. Both plumb through the fleet path; crop must reject sizes
+    that leave no interior."""
+    pools = [make_pool(rng, n=4)]
+    lr_pools = [make_pool(rng, n=3, size=8)]
+    out = train_fleet(
+        pools,
+        tiny_cfg(tmp_path / "knobs", real_is_lr=True, steps_per_call=2,
+                 d_border_crop=2, d_lr_rate=4e-5,
+                 fake_noise_sigma=(0.5,) * 5),
+        progress=False, lr_pools=lr_pools,
+    )
+    k = out["kernel_per_band"]
+    assert np.isfinite(k).all()
+    np.testing.assert_allclose(k.sum(axis=(-2, -1)), 1.0, atol=1e-5)
+
+
+@pytest.mark.slow
 @pytest.mark.exhaustive  # canonical: test_fleet_real_is_lr_matches_standalone (real_is_lr) + test_fleet_chunked_matches_standalone_chunked (chunking); default-tier K>1 anchor: test_fleet_real_is_lr_chunked_scene_consistency
 def test_fleet_real_is_lr_chunked_runs(rng, tmp_path):
     """K>1 real_is_lr fleet (device-PRNG hr/crop draws from separate
