@@ -94,7 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "behavior); lower it when D saturates against a "
                         "distribution-shifted native-LR real side")
     p.add_argument("--fake-noise", default="off",
-                   help="'off' (reference behavior), 'auto' (estimate "
+                   help="'off' (reference behavior), 'learn' (sigma is a "
+                        "LEARNABLE per-band parameter initialized from "
+                        "the wavelet-MAD estimate — the NoiseEstimator "
+                        "mechanism, self-calibrating), 'auto' (estimate "
                         "per-band sigma from the native-LR pool with the "
                         "denoise stage's wavelet-MAD estimator and add "
                         "N(0,sigma) to the FAKE side so the D cannot win "
@@ -171,7 +174,8 @@ def main(argv=None) -> int:
     elif a.real_lr_dir:
         raise SystemExit("--real-lr-dir given without --real-is-lr")
     fake_noise_sigma = None
-    if a.fake_noise == "auto":
+    fake_noise_learnable = False
+    if a.fake_noise in ("auto", "learn"):
         if lr_pools is None:
             raise SystemExit("--fake-noise auto needs --real-is-lr "
                              "(sigma is estimated from the LR pool)")
@@ -187,8 +191,10 @@ def main(argv=None) -> int:
                 for b in range(pats.shape[1])
             ])
         fake_noise_sigma = tuple(np.median(np.asarray(sigs), axis=0))
+        fake_noise_learnable = a.fake_noise == "learn"
         print("fleet: fake-side noise sigma (wavelet-MAD of the LR "
-              "pools): " + ", ".join(f"{s:.3f}" for s in fake_noise_sigma))
+              "pools): " + ", ".join(f"{s:.3f}" for s in fake_noise_sigma)
+              + (" [learnable init]" if fake_noise_learnable else ""))
     elif a.fake_noise != "off":
         fake_noise_sigma = tuple(float(x) for x in a.fake_noise.split(","))
     cfg = SingleKernelConfig(
@@ -197,6 +203,7 @@ def main(argv=None) -> int:
         lr_crop_size=a.lr_crop_size,
         real_is_lr=a.real_is_lr,
         fake_noise_sigma=fake_noise_sigma,
+        fake_noise_learnable=fake_noise_learnable,
         d_border_crop=a.d_border_crop,
         d_lr_rate=a.d_lr,
         lr_rate=a.lr,

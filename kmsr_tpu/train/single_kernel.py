@@ -101,6 +101,17 @@ class SingleKernelConfig:
     #   reference ties them, `single_kernel/train.py:165-166`). Lowering
     #   D's lr is the standard rebalance when D saturates against a
     #   distribution-shifted real side (real_is_lr).
+    fake_noise_learnable: bool = False  # make the fake-side sigma a
+    #   LEARNABLE per-band parameter (g_params["log_sigma"], exp +
+    #   clip [1e-4, 4]) initialized from fake_noise_sigma — the
+    #   reference's NoiseEstimator mechanism (`muti_kernel/
+    #   networks.py:210-224`, x + randn*sigma with sigma a parameter):
+    #   the reparametrized noise gives the adversary gradient through
+    #   sigma, so it self-calibrates to the real side's noise floor.
+    #   Needed because no closed-form LR sigma estimator survives
+    #   mesoscale structure at the LR Nyquist (wavelet-MAD reads 0.66
+    #   for a true 0.55; NLM-residual reads 0.91 — measured, r5 A/B)
+    #   and the D detects the variance mismatch.
     fake_noise_sigma: Optional[tuple] = None  # per-band sigmas added to the
     #   FAKE side (G(HR) + N(0, sigma)) so the D cannot win on noise
     #   texture alone when the real side is a noisier native-LR sensor
@@ -163,9 +174,18 @@ def make_base_step(cfg: SingleKernelConfig) -> Callable:
         jnp.asarray(cfg.fake_noise_sigma, jnp.float32)[None, :, None, None]
         if cfg.fake_noise_sigma is not None else None
     )
+    noise_on = fake_sig is not None
+
+    def _sigma_of(g_params):
+        """Effective fake-side sigma [1, C, 1, 1] for these G params."""
+        if cfg.fake_noise_learnable:
+            return jnp.clip(
+                jnp.exp(g_params["log_sigma"]), 1e-4, 4.0
+            )[None, :, None, None]
+        return fake_sig
 
     def step(state: GANTrainState, hr: jax.Array, crop_src: jax.Array):
-        if fake_sig is None:
+        if not noise_on:
             rng, k_crop = jax.random.split(state.rng)
         else:
             rng, k_crop, k_n1, k_n2 = jax.random.split(state.rng, 4)
@@ -174,10 +194,11 @@ def make_base_step(cfg: SingleKernelConfig) -> Callable:
         else:
             real = random_crops(k_crop, crop_src, cfg.lr_crop_size)
         fake = generator_forward(state.g_params, hr, factor=factor, forward_mode=fwd_mode)
-        if fake_sig is not None:
+        if noise_on:
             # fresh draw per D/G sub-step, mirroring the dynamic model's
             # re-run forward (`muti_kernel/train.py:259` vs `:273`)
-            fake = fake + jax.random.normal(k_n1, fake.shape) * fake_sig
+            fake = fake + jax.random.normal(k_n1, fake.shape) * _sigma_of(
+                state.g_params)
 
         # ---- D step -------------------------------------------------------
         def d_loss_fn(d_params, d_state):
@@ -199,8 +220,11 @@ def make_base_step(cfg: SingleKernelConfig) -> Callable:
         # ---- G step (against the freshly updated D, reference order) -------
         def g_loss_fn(g_params, d_state_in):
             fake_g = generator_forward(g_params, hr, factor=factor, forward_mode=fwd_mode)
-            if fake_sig is not None:
-                fake_g = fake_g + jax.random.normal(k_n2, fake_g.shape) * fake_sig
+            if noise_on:
+                # reparametrized: gradient flows into log_sigma when
+                # learnable, self-calibrating it against the real side
+                fake_g = fake_g + jax.random.normal(
+                    k_n2, fake_g.shape) * _sigma_of(g_params)
             pred_fake, st = discriminator_forward(
                 d_params, d_state_in, _trim(fake_g), train=True
             )
@@ -272,6 +296,15 @@ def init_training(cfg: SingleKernelConfig):
     key = jax.random.PRNGKey(cfg.seed)
     k_d, k_state = jax.random.split(key)
     g_params = init_generator(cfg.generator)
+    if cfg.fake_noise_learnable:
+        if cfg.fake_noise_sigma is None:
+            raise ValueError(
+                "fake_noise_learnable needs fake_noise_sigma as the init "
+                "(e.g. the wavelet-MAD estimate of the LR pool)"
+            )
+        g_params["log_sigma"] = jnp.log(
+            jnp.asarray(cfg.fake_noise_sigma, jnp.float32)
+        )
     d_params, d_state = init_discriminator(k_d, cfg.discriminator)
     g_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)
     d_tx = make_gan_optimizers(cfg.lr_rate, grad_clip_norm=cfg.grad_clip_norm)

@@ -31,6 +31,8 @@ def main() -> int:
     p.add_argument("--scenes", type=int, default=2)
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--outdir", default="/tmp/ab_real_lr")
+    p.add_argument("--only", default=None,
+                   help="comma-separated variant tags to run")
     a = p.parse_args()
 
     from kmsr_tpu.data.patches import group_by_scene
@@ -63,6 +65,35 @@ def main() -> int:
     )
     print("estimated LR sigma:", [round(s, 3) for s in sig])
 
+    # diagnostic pools: (a) synthetic INTERNAL twin — LR made by
+    # degrading each scene's own HR pool with the GT kernel + LR noise
+    # (distribution-matched by construction: if D still wins here, the
+    # cue is structural, not domain shift); (b) raw (un-denoised) HR
+    # input (if that balances D, the cue is NLM texture)
+    import jax
+
+    from kmsr_tpu.ops.degrade import degrade
+
+    rng_np = np.random.default_rng(7)
+    synth_lr_pools = []
+    for pool in pools:
+        hr = np.asarray(pool.patches)
+        lrs = []
+        for i in range(hr.shape[0]):
+            d = np.asarray(degrade(jax.numpy.asarray(hr[i]),
+                                   jax.numpy.asarray(gt), factor=8))
+            d = d + rng_np.normal(0, 1, d.shape) * np.asarray(
+                sig)[:, None, None]
+            lrs.append(d.astype(np.float32))
+        synth_lr_pools.append(PatchPool(np.stack(lrs)))
+    raw_groups = group_by_scene(
+        list_patch_files(os.path.join(a.work, "patches"), "*.nc",
+                         host_shard=False))
+    raw_pools = [
+        PatchPool.from_files(raw_groups[n], group="geophysical_data")
+        for n in names
+    ]
+
     variants = {
         "baseline": {},
         "noise": {"fake_noise_sigma": sig},
@@ -71,9 +102,51 @@ def main() -> int:
         "noise+crop2+dlr": {"fake_noise_sigma": sig, "d_border_crop": 2,
                             "d_lr_rate": 4e-5},
         "noise+dlr": {"fake_noise_sigma": sig, "d_lr_rate": 4e-5},
+        "synth-internal": {"fake_noise_sigma": sig, "_lr": synth_lr_pools},
+        "rawhr+noise": {"fake_noise_sigma": sig, "_hr": raw_pools},
     }
+
+    # residual-based sigma: the reference's noise-pool construction
+    # (original - NLM-denoised, D_build_noise_pool.py) applied at LR
+    # scale — wavelet-MAD over-reads sigma where mesoscale structure
+    # reaches the LR Nyquist (band 0: 0.66 vs true 0.55), and the D
+    # detects the resulting variance mismatch on the fake side
+    from kmsr_tpu.ops.nlm import denoise_batch
+
+    den, _ = denoise_batch(pats, h_factor=1.8)
+    resid = pats - den
+    sig_resid = tuple(
+        float(np.median(resid[:, b].std(axis=(1, 2))))
+        for b in range(resid.shape[1])
+    )
+    print("residual (noise-pool) LR sigma:",
+          [round(s, 3) for s in sig_resid])
+    variants["noise-resid"] = {"fake_noise_sigma": sig_resid}
+    variants["noise-resid+crop2"] = {"fake_noise_sigma": sig_resid,
+                                     "d_border_crop": 2}
+    # learnable sigma (the reference NoiseEstimator mechanism): MAD init,
+    # adversarial gradient self-calibrates against the real noise floor
+    variants["noise-learn"] = {"fake_noise_sigma": sig,
+                               "fake_noise_learnable": True}
+    variants["noise-learn+crop2"] = {"fake_noise_sigma": sig,
+                                     "fake_noise_learnable": True,
+                                     "d_border_crop": 2}
+    # oracle diagnostics (synthetic GT knowledge, never a production
+    # mode): exact true sigma isolates whether noise mismatch is the
+    # D's remaining cue
+    variants["noise-true"] = {
+        "fake_noise_sigma": (0.55, 0.72, 0.83, 0.63, 0.19)}
+    variants["noise-true+crop2"] = {
+        "fake_noise_sigma": (0.55, 0.72, 0.83, 0.63, 0.19),
+        "d_border_crop": 2}
+    if a.only:
+        keep = set(a.only.split(","))
+        variants = {t: v for t, v in variants.items() if t in keep}
     results = {}
     for tag, kw in variants.items():
+        kw = dict(kw)
+        use_pools = kw.pop("_hr", pools)
+        use_lr = kw.pop("_lr", lr_pools)
         cfg = SingleKernelConfig(
             iters=a.iters, batch_size=16, lr_crop_size=32,
             real_is_lr=True, steps_per_call=a.k,
@@ -83,8 +156,8 @@ def main() -> int:
             discriminator=DiscriminatorConfig(),
             **kw,
         )
-        out = train_fleet(pools, cfg, scene_names=names, progress=False,
-                          lr_pools=lr_pools)
+        out = train_fleet(use_pools, cfg, scene_names=names, progress=False,
+                          lr_pools=use_lr)
         k = np.asarray(out["kernel_per_band"])
         err = np.linalg.norm(
             (k - gt[None]).reshape(len(names), gt.shape[0], -1), axis=2

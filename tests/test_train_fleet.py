@@ -273,6 +273,22 @@ def test_fleet_d_balance_knobs(rng, tmp_path):
     k = out["kernel_per_band"]
     assert np.isfinite(k).all()
     np.testing.assert_allclose(k.sum(axis=(-2, -1)), 1.0, atol=1e-5)
+    # learnable sigma (NoiseEstimator mechanism): log_sigma rides
+    # g_params, gets Adam updates, and MOVES from its init
+    out2 = train_fleet(
+        [make_pool(rng, n=4)],
+        tiny_cfg(tmp_path / "learn", real_is_lr=True, steps_per_call=2,
+                 fake_noise_sigma=(0.5,) * 5, fake_noise_learnable=True),
+        progress=False, lr_pools=[make_pool(rng, n=3, size=8)],
+    )
+    ls = np.asarray(out2["state"].g_params["log_sigma"])[0]
+    assert ls.shape == (5,) and np.isfinite(ls).all()
+    assert not np.allclose(ls, np.log(0.5)), "log_sigma never updated"
+    # init without fake_noise_sigma must be rejected
+    from kmsr_tpu.train.single_kernel import init_training
+
+    with pytest.raises(ValueError, match="fake_noise_learnable"):
+        init_training(tiny_cfg(tmp_path / "bad", fake_noise_learnable=True))
 
 
 @pytest.mark.slow
