@@ -160,6 +160,23 @@ def generator_forward(
     return block_mean(y, factor)
 
 
+def extract_kernels_raw(params: dict) -> jax.Array:
+    """Per-band composed kernels WITHOUT clamp/normalize, differentiable.
+
+    The clamped extraction kills gradients at negative entries, so
+    nothing in the reference's losses can stop a band's raw kernel from
+    drifting all-negative — after clamp+normalize that band's artifact
+    is all-zero and the factory degrades it to pure noise (observed
+    live in r5 on a D-dominated real_is_lr run). The raw sums feed
+    `SingleKernelConfig.raw_sum_reg`, whose gradient reaches every
+    weight.
+    """
+    def one_band(ws):
+        return compose_chain(list(ws)).mean(axis=(0, 1))
+
+    return jax.vmap(one_band)(tuple(params["layers"]))
+
+
 def extract_kernels(params: dict, differentiable: bool = False) -> jax.Array:
     """Per-band effective blur kernels `[C, KH, KW]`, clamped + normalized.
 

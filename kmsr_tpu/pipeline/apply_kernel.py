@@ -42,6 +42,19 @@ def load_kernel(kernel_path: str, n_bands: int = 5) -> np.ndarray:
         k = np.broadcast_to(k[None], (n_bands, *k.shape)).copy()
     if k.ndim != 3 or k.shape[0] != n_bands:
         raise ValueError(f"kernel shape {k.shape} incompatible with {n_bands} bands")
+    sums = k.sum(axis=(1, 2))
+    if not np.isfinite(k).all() or (np.abs(sums) <= 1e-6).any():
+        # a degenerate band (all-zero after the extractor's clamp, or
+        # NaN) would silently degrade that band to pure noise in every
+        # produced pair — caught live in r5 when a collapsed GAN's band-2
+        # kernel zeroed the lr side (bilinear 13 dB). Fail the artifact
+        # loudly at the factory boundary instead (per-scene failure
+        # isolation takes it from there).
+        raise ValueError(
+            f"degenerate kernel {kernel_path}: band sums {sums.tolist()} "
+            f"(finite={bool(np.isfinite(k).all())}) — at least one band "
+            f"is all-zero/NaN; the producing run is collapsed"
+        )
     return k
 
 

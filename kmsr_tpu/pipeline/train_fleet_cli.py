@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--real-lr-group", default="geophysical_data",
                    help="NetCDF group of the native-LR patches (raw "
                         "sensor radiance, not denoised)")
+    p.add_argument("--raw-sum-reg", type=float, default=0.0,
+                   help="weight of the un-clamped composed-kernel "
+                        "band-sum-to-1 penalty (prevents all-negative "
+                        "band collapse under a dominated D; 0 = "
+                        "reference behavior)")
     p.add_argument("--d-border-crop", type=int, default=0,
                    help="crop N px off every side of both D inputs — "
                         "removes the fake side's reflect-padding rim "
@@ -204,6 +209,7 @@ def main(argv=None) -> int:
         real_is_lr=a.real_is_lr,
         fake_noise_sigma=fake_noise_sigma,
         fake_noise_learnable=fake_noise_learnable,
+        raw_sum_reg=a.raw_sum_reg,
         d_border_crop=a.d_border_crop,
         d_lr_rate=a.d_lr,
         lr_rate=a.lr,

@@ -42,6 +42,7 @@ from ..models.discriminator import (
 from ..models.generator import (
     GeneratorConfig,
     extract_kernels,
+    extract_kernels_raw,
     generator_forward,
     init_generator,
 )
@@ -90,6 +91,12 @@ class SingleKernelConfig:
     #   (reference crops 32^2 windows from 256^2 LR-sensor patches —
     #   `single_kernel/train.py:261-268`; set True to feed native-scale
     #   LR batches directly)
+    raw_sum_reg: float = 0.0  # weight of mean_b (sum(raw_kernel_b) - 1)^2
+    #   on the UN-clamped composed kernel — the clamped extraction zeroes
+    #   gradients at negative entries, so the reference's sum-to-1 term
+    #   (always computed post-normalize, hence vestigial there too) cannot
+    #   stop a band's raw kernel drifting all-negative; this term can.
+    #   0 = reference behavior.
     d_border_crop: int = 0  # crop this many pixels off every side of BOTH
     #   D inputs. With real_is_lr the fake side always carries the
     #   generator's reflect-padding rim (13x13 chain -> 6 HR px -> ~1 LR
@@ -231,7 +238,12 @@ def make_base_step(cfg: SingleKernelConfig) -> Callable:
             adv = lsgan_g_loss(pred_fake)
             ks = extract_kernels(g_params, differentiable=cfg.differentiable_reg)
             reg = per_band_kernel_regularization(ks, cfg.reg_weights)
-            return adv + cfg.reg_weight * reg, (st, adv, reg, ks)
+            total = adv + cfg.reg_weight * reg
+            if cfg.raw_sum_reg:
+                raw_sums = jnp.sum(extract_kernels_raw(g_params), axis=(1, 2))
+                total = total + cfg.raw_sum_reg * jnp.mean(
+                    (raw_sums - 1.0) ** 2)
+            return total, (st, adv, reg, ks)
 
         (loss_g, (d_state, adv, reg, ks)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True

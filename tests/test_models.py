@@ -101,6 +101,31 @@ def test_fresh_generator_kernel_is_gaussian():
     np.testing.assert_allclose(ks.sum(axis=(-2, -1)), 1.0, rtol=1e-5)
 
 
+def test_extract_kernels_raw_differentiable_sum():
+    """The raw extractor (no clamp/normalize) sums to ~1 at init and has
+    a nonzero gradient through d(sum)/d(weights) — the property
+    raw_sum_reg relies on to stop all-negative band collapse (the
+    clamped path's gradient dies at negative entries)."""
+    from kmsr_tpu.models.generator import extract_kernels_raw
+
+    params = init_generator(GeneratorConfig())
+    raw = np.asarray(extract_kernels_raw(params))
+    assert raw.shape == (5, 13, 13)
+    np.testing.assert_allclose(raw.sum(axis=(-2, -1)), 1.0, rtol=1e-5)
+
+    def loss(p):
+        s = jnp.sum(extract_kernels_raw(p), axis=(1, 2))
+        return jnp.mean((s - 1.0) ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.abs(w).sum()) for w in g["layers"])
+    assert np.isfinite(gnorm)
+    # at the exact minimum the gradient is ~0; perturb and check signal
+    params2 = {"layers": [w - 0.01 for w in params["layers"]]}
+    g2 = jax.grad(loss)(params2)
+    assert sum(float(jnp.abs(w).sum()) for w in g2["layers"]) > 1e-3
+
+
 def test_generator_forward_shapes_and_gaussian_equivalence(rng):
     cfg = GeneratorConfig()
     params = init_generator(cfg)

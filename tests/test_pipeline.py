@@ -304,6 +304,34 @@ def test_device_sync_guard_aborts_when_persistent():
         g.failed(RuntimeError("boom"))
 
 
+def test_load_kernel_rejects_degenerate(tmp_path):
+    """A kernel artifact with an all-zero or NaN band must fail loudly at
+    the factory boundary instead of silently degrading that band to pure
+    noise in every produced pair (caught live in r5: a collapsed GAN's
+    band-2 kernel zeroed the lr side, bilinear 13 dB)."""
+    import numpy as np
+    import pytest
+
+    from kmsr_tpu.pipeline.apply_kernel import load_kernel
+
+    rng = np.random.default_rng(0)
+    k = rng.uniform(0.01, 1.0, (5, 13, 13)).astype(np.float32)
+    k /= k.sum(axis=(1, 2), keepdims=True)
+    good = tmp_path / "good.npy"
+    np.save(good, k)
+    assert load_kernel(str(good)).shape == (5, 13, 13)
+    k_zero = k.copy()
+    k_zero[2] = 0.0
+    np.save(tmp_path / "zero.npy", k_zero)
+    with pytest.raises(ValueError, match="degenerate kernel"):
+        load_kernel(str(tmp_path / "zero.npy"))
+    k_nan = k.copy()
+    k_nan[0, 0, 0] = np.nan
+    np.save(tmp_path / "nan.npy", k_nan)
+    with pytest.raises(ValueError, match="degenerate kernel"):
+        load_kernel(str(tmp_path / "nan.npy"))
+
+
 def test_sync_watchdog_simulated_hang():
     """SyncWatchdog (VERDICT r4 item 4): a sync hanging past the
     threshold gets diagnosed each poll; a persistent wedge diagnosis
