@@ -512,14 +512,30 @@ def main() -> int:
             "| sigma=2 Gaussian (the GAN's init) | "
             f"{recovery['base_init']:.4f} |",
             "",
+        ] + ([
             f"The unpaired adversarial estimate lands {avg:.4f} from the",
-            f"truth vs {recovery['base_init']:.4f} for its Gaussian",
-            f"initialization and {recovery['base_delta']:.4f} for the",
-            "no-blur null — the D's native-LR real side pulls the kernel",
-            "most of the way to the actual sensor PSF with no paired",
+            f"truth — better than its own Gaussian initialization",
+            f"({recovery['base_init']:.4f}) and far from the no-blur null",
+            f"({recovery['base_delta']:.4f}): the D's native-LR real side",
+            "pulls the kernel toward the actual sensor PSF with no paired",
             "supervision.",
             "",
-        ]
+        ] if avg < recovery["base_init"] else [
+            f"Honest reading: the estimate lands {avg:.4f} from the truth",
+            f"— far from the no-blur null ({recovery['base_delta']:.4f})",
+            "but NOT better than the sigma=2 Gaussian initialization",
+            f"({recovery['base_init']:.4f}). The adversarial signal",
+            "maintains a physical, well-centered kernel (the raw-sum",
+            "regularizer prevents the collapse an unconstrained run",
+            "exhibits) without beating a well-chosen prior: the",
+            "cross-sensor D retains content-level shortcuts no 13x13",
+            "kernel can close (see NOTES_r5's A/B — the synthetic",
+            "internal twin, where distributions ARE matchable, reaches a",
+            "healthy D equilibrium). This is the measured boundary of",
+            "unpaired cross-sensor kernel estimation, and why the",
+            "reference trains on internal HR crops.",
+            "",
+        ])
 
     lines += [
         "## Training curve (holdout PSNR/SSIM per eval, from "
