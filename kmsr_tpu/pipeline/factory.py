@@ -497,11 +497,20 @@ def run_factory(
             continue
         hr_batch = np.stack(stacks, axis=0)
         noise_idx = noise_idx_all[[file_pos[p] for p in valid]]
-        noise = jnp.asarray(pool[noise_idx])
-        # chunking-independent key: fold the chunk's first file position
-        # into the seed key (only consumed by --moe-noise sigma)
-        key = jax.random.fold_in(base_key, file_pos[valid[0]])
-        lr_dev, experts_dev = fn(jnp.asarray(hr_batch), noise, key)
+        # H2D + enqueue. Attribution (bench_pipeline r5): this scope is
+        # the factory's bulk (61.8 s of 75.3 s on a healthy tunnel) —
+        # transfer-bound, not compute-bound. Measured-and-rejected: a
+        # background uploader thread doing jnp.asarray(hr_batch) moves
+        # only ~1.5 s here — H2D is ASYNC on this backend and the copy
+        # realizes at dispatch regardless of which thread created the
+        # array (docs/NOTES_r5.md).
+        with stage_timer("factory.dispatch"):
+            noise = jnp.asarray(pool[noise_idx])
+            # chunking-independent key: fold the chunk's first file
+            # position into the seed key (only consumed by --moe-noise
+            # sigma)
+            key = jax.random.fold_in(base_key, file_pos[valid[0]])
+            lr_dev, experts_dev = fn(jnp.asarray(hr_batch), noise, key)
         if pending is not None:
             _writeback(*pending)
         pending = (valid, hr_batch, lr_dev, experts_dev)
