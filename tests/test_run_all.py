@@ -132,6 +132,7 @@ def test_run_all_rejects_bad_real_lr_configs(tmp_path, scenes):
 
 
 @pytest.mark.slow
+@pytest.mark.exhaustive  # default tier keeps the rejection tests + the fleet real_is_lr unit/equivalence tests; this is the end-to-end route spelling
 def test_run_all_fleet_real_is_lr_route(tmp_path, scenes, rng):
     """The FLAGSHIP configuration end-to-end (VERDICT r4 item 2 plumbing):
     cut_lr cuts native-LR scenes into per-scene pools, the fleet trains

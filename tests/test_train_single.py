@@ -142,6 +142,7 @@ def test_sharded_matches_single_device(small_pool):
 
 
 @pytest.mark.slow
+@pytest.mark.exhaustive  # canonical TP coverage in default/driver runs: __graft_entry__.dryrun_multichip's DPxTP GAN step (MULTICHIP artifact) + test_sharded_matches_single_device (DP equivalence)
 def test_tp_matches_single_device(small_pool):
     """A (data=2, model=2) mesh with the explicit channel shardings must
     reproduce single-device numerics (generator/discriminator are
