@@ -201,6 +201,7 @@ def test_moe_dp_mesh_matches_single_device(tmp_path, pool):
     )
 
 
+@pytest.mark.exhaustive  # canonical DP equivalence in the default tier: test_sharded_matches_single_device (single-kernel step); the dynamic step's mesh path is the same make_train_step wrapper
 def test_dynamic_dp_mesh_matches_single_device(tmp_path, pool):
     """Dynamic trainer DP over the 8-device CPU mesh == single device
     (VERDICT r3 item 5 — this trainer had no mesh equivalence test).
